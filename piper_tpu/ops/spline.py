@@ -1,0 +1,156 @@
+"""Piecewise rational-quadratic spline flow (linear tails).
+
+Numerical parity with the reference implementation
+(reference: src/python/piper_train/vits/transforms.py:10-212), used by
+the stochastic duration predictor's ConvFlow layers
+(reference: modules.py:469-527).
+
+All math here is kept in float32 on TPU: the spline involves
+softmax/cumsum/division chains whose bf16 error would break waveform
+parity (SURVEY.md §7 "hard parts").
+
+Shapes: `inputs` is (..., ) scalar field; the unnormalized bin
+parameters carry a trailing `num_bins` (or num_bins+1 for derivatives
+after tail padding) axis aligned with `inputs`' shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+MIN_BIN_WIDTH = 1e-3
+MIN_BIN_HEIGHT = 1e-3
+MIN_DERIVATIVE = 1e-3
+
+
+def _searchsorted(bin_locations: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
+    """Index of the bin containing each input.
+
+    Parity: transforms.searchsorted (transforms.py:44-47) — a sum of
+    comparisons with eps added to the last boundary. Vectorizes on the
+    VPU with no gather.
+    """
+    eps = 1e-6
+    locs = bin_locations.at[..., -1].add(eps)
+    return jnp.sum(inputs[..., None] >= locs, axis=-1) - 1
+
+
+def rational_quadratic_spline(
+    inputs: jnp.ndarray,
+    unnormalized_widths: jnp.ndarray,
+    unnormalized_heights: jnp.ndarray,
+    unnormalized_derivatives: jnp.ndarray,
+    *,
+    inverse: bool = False,
+    tail_bound: float = 5.0,
+    min_bin_width: float = MIN_BIN_WIDTH,
+    min_bin_height: float = MIN_BIN_HEIGHT,
+    min_derivative: float = MIN_DERIVATIVE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Monotone rational-quadratic spline with linear tails.
+
+    Returns (outputs, logabsdet). Outside [-tail_bound, tail_bound] the
+    transform is the identity with logabsdet 0
+    (reference: transforms.py:62-76).
+    """
+    dtype = inputs.dtype
+    inputs = inputs.astype(jnp.float32)
+    uw = unnormalized_widths.astype(jnp.float32)
+    uh = unnormalized_heights.astype(jnp.float32)
+    ud = unnormalized_derivatives.astype(jnp.float32)
+
+    num_bins = uw.shape[-1]
+    left = bottom = -tail_bound
+    right = top = tail_bound
+
+    inside = (inputs >= left) & (inputs <= right)
+    # Clamp so the spline branch never sees out-of-domain values
+    # (jnp.where still evaluates both branches).
+    x = jnp.clip(inputs, left, right)
+
+    # Linear tails: boundary derivative pads such that
+    # min_derivative + softplus(const) == 1 (transforms.py:68-73).
+    const = math.log(math.exp(1.0 - min_derivative) - 1.0)
+    pad_shape = ud.shape[:-1] + (1,)
+    pad = jnp.full(pad_shape, const, jnp.float32)
+    ud = jnp.concatenate([pad, ud, pad], axis=-1)
+
+    widths = jax.nn.softmax(uw, axis=-1)
+    widths = min_bin_width + (1.0 - min_bin_width * num_bins) * widths
+    cumwidths = jnp.cumsum(widths, axis=-1)
+    cumwidths = jnp.concatenate(
+        [jnp.zeros(pad_shape, jnp.float32), cumwidths], axis=-1
+    )
+    cumwidths = (right - left) * cumwidths + left
+    cumwidths = cumwidths.at[..., 0].set(left)
+    cumwidths = cumwidths.at[..., -1].set(right)
+    widths = cumwidths[..., 1:] - cumwidths[..., :-1]
+
+    derivatives = min_derivative + jax.nn.softplus(ud)
+
+    heights = jax.nn.softmax(uh, axis=-1)
+    heights = min_bin_height + (1.0 - min_bin_height * num_bins) * heights
+    cumheights = jnp.cumsum(heights, axis=-1)
+    cumheights = jnp.concatenate(
+        [jnp.zeros(pad_shape, jnp.float32), cumheights], axis=-1
+    )
+    cumheights = (top - bottom) * cumheights + bottom
+    cumheights = cumheights.at[..., 0].set(bottom)
+    cumheights = cumheights.at[..., -1].set(top)
+    heights = cumheights[..., 1:] - cumheights[..., :-1]
+
+    bin_idx = _searchsorted(cumheights if inverse else cumwidths, x)
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+
+    def take(arr):
+        return jnp.take_along_axis(arr, bin_idx, axis=-1)[..., 0]
+
+    input_cumwidths = take(cumwidths)
+    input_bin_widths = take(widths)
+    input_cumheights = take(cumheights)
+    delta = heights / widths
+    input_delta = take(delta)
+    input_derivatives = take(derivatives)
+    input_derivatives_p1 = take(derivatives[..., 1:])
+    input_heights = take(heights)
+
+    d_sum = input_derivatives + input_derivatives_p1 - 2.0 * input_delta
+
+    if inverse:
+        rel = x - input_cumheights
+        a = rel * d_sum + input_heights * (input_delta - input_derivatives)
+        b = input_heights * input_derivatives - rel * d_sum
+        c = -input_delta * rel
+        discriminant = jnp.square(b) - 4.0 * a * c
+        # Guaranteed >= 0 for monotone splines (transforms.py:174);
+        # clamp for float safety.
+        root = (2.0 * c) / (-b - jnp.sqrt(jnp.maximum(discriminant, 0.0)))
+        theta = root
+        outputs = root * input_bin_widths + input_cumwidths
+    else:
+        theta = (x - input_cumwidths) / input_bin_widths
+        theta_1m = theta * (1.0 - theta)
+        numerator = input_heights * (
+            input_delta * jnp.square(theta) + input_derivatives * theta_1m
+        )
+        denominator = input_delta + d_sum * theta_1m
+        outputs = input_cumheights + numerator / denominator
+
+    theta_1m = theta * (1.0 - theta)
+    denominator = input_delta + d_sum * theta_1m
+    derivative_numerator = jnp.square(input_delta) * (
+        input_derivatives_p1 * jnp.square(theta)
+        + 2.0 * input_delta * theta_1m
+        + input_derivatives * jnp.square(1.0 - theta)
+    )
+    logabsdet = jnp.log(derivative_numerator) - 2.0 * jnp.log(denominator)
+    if inverse:
+        logabsdet = -logabsdet
+
+    outputs = jnp.where(inside, outputs, inputs)
+    logabsdet = jnp.where(inside, logabsdet, 0.0)
+    return outputs.astype(dtype), logabsdet.astype(dtype)
