@@ -1,0 +1,428 @@
+"""TpuVoice — the serving API.
+
+Counterpart of the reference PiperVoice
+(src/python_run/piper/voice.py:19-185) and the C++ textToAudio
+orchestration (src/cpp/piper.cpp:446-616): phonemize -> ids ->
+synthesize -> int16, with phrase splitting on configured silence
+phonemes and per-sentence silence.
+
+Structural departure from the reference (which is strictly batch=1,
+voice.py:158): synthesis here is *batched and bucketed*. Sentences are
+grouped into phoneme-length buckets, encoded as one device batch per
+bucket, regrouped by predicted frame count, and decoded batched. Each
+(bucket) shape compiles once; steady-state serving never recompiles.
+
+Numerics modes:
+  precision="parity": float32 compute, highest matmul precision —
+      waveform-allclose with the reference (tests).
+  precision="fast":   bfloat16 compute for MXU throughput; duration /
+      spline math stays f32 (see models/vits/duration.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import threading
+import time
+import zlib
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import InferenceDefaults, ModelConfig, SynthesisConfig, VoiceConfig
+from ..models.vits import model as M
+from ..text.phonemes import phonemes_to_ids
+from ..text.phonemize import phonemize
+from . import batching
+from .wav import audio_float_to_int16
+
+_LOGGER = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SynthesisStats:
+    """RTF accounting (reference: piper.cpp:385-408)."""
+
+    infer_seconds: float = 0.0
+    audio_seconds: float = 0.0
+
+    @property
+    def real_time_factor(self) -> float:
+        return self.infer_seconds / self.audio_seconds if self.audio_seconds else 0.0
+
+
+class TpuVoice:
+    def __init__(
+        self,
+        params: Any,
+        model_cfg: ModelConfig,
+        config: VoiceConfig,
+        *,
+        precision: str = "parity",
+        phoneme_buckets: Optional[Sequence[int]] = None,
+        frame_buckets: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+        phonemizer: Optional[object] = None,
+    ):
+        self.config = config
+        self.model_cfg = model_cfg
+        self.precision = precision
+        self.dtype = jnp.float32 if precision == "parity" else jnp.bfloat16
+        self._matmul_precision = "highest" if precision == "parity" else "default"
+        self.params = jax.device_put(
+            jax.tree.map(lambda a: jnp.asarray(a), params)
+        )
+        self.phoneme_buckets = list(
+            phoneme_buckets or batching.DEFAULT_PHONEME_BUCKETS
+        )
+        self.frame_buckets = list(frame_buckets or batching.DEFAULT_FRAME_BUCKETS)
+        self._key = jax.random.PRNGKey(
+            seed if seed is not None else (time.time_ns() & 0x7FFFFFFF)
+        )
+        self._key_lock = threading.Lock()
+        self.phonemizer = phonemizer
+        self._multispeaker = model_cfg.num_speakers > 1
+
+        cfg = model_cfg
+        dtype = self.dtype
+
+        mm_prec = self._matmul_precision
+
+        # Noise is drawn per-utterance from per-row keys, so a given
+        # utterance+seed yields identical audio regardless of batch
+        # composition (batch-invariant serving determinism).
+        def encode_fn(params, ids, lengths, noise_w, length_scale, keys, sid):
+            with jax.default_matmul_precision(mm_prec):
+                t = ids.shape[1]
+                dur_noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 0), (t, 2), jnp.float32
+                    )
+                )(keys)
+                return M.synthesizer_encode(
+                    params, ids, lengths, cfg=cfg, noise_w_scale=noise_w,
+                    length_scale=length_scale, sid=sid, dur_noise=dur_noise,
+                    dtype=dtype,
+                )
+
+        def decode_fn(params, enc, num_frames, noise_scale, keys, sid):
+            with jax.default_matmul_precision(mm_prec):
+                frame_noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 1),
+                        (num_frames, cfg.inter_channels),
+                        jnp.float32,
+                    )
+                )(keys).astype(dtype)
+                return M.synthesizer_decode(
+                    params, enc, num_frames, cfg=cfg, noise_scale=noise_scale,
+                    sid=sid, frame_noise=frame_noise, dtype=dtype,
+                )
+
+        self._encode = jax.jit(encode_fn)
+        self._decode = jax.jit(decode_fn, static_argnums=(2,))
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def load(
+        cls,
+        model_path: Union[str, Path],
+        config_path: Optional[Union[str, Path]] = None,
+        **kw,
+    ) -> "TpuVoice":
+        """Load a voice from a .ckpt (piper_train Lightning), .onnx
+        (exported piper voice), or .npz (piper_tpu native) with its
+        JSON config sidecar (reference: voice.py:24-55)."""
+        model_path = Path(model_path)
+        if config_path is None:
+            config_path = (
+                model_path.with_suffix(model_path.suffix + ".json")
+                if model_path.suffix != ".json"
+                else model_path
+            )
+            if not Path(config_path).exists():
+                config_path = model_path.with_suffix(".json")
+        config = VoiceConfig.from_file(config_path)
+        model_cfg = config.model_config()
+
+        suffix = model_path.suffix.lower()
+        if suffix == ".ckpt":
+            from ..weights.torch_loader import load_torch_checkpoint
+
+            params, model_cfg = load_torch_checkpoint(str(model_path))
+        elif suffix == ".onnx":
+            from ..weights.onnx_loader import load_onnx_voice
+
+            params, model_cfg = load_onnx_voice(str(model_path), model_cfg)
+        elif suffix == ".npz":
+            from ..weights.native import load_native
+
+            params, model_cfg = load_native(str(model_path))
+        else:
+            raise ValueError(f"unsupported voice format: {model_path}")
+        return cls(params, model_cfg, config, **kw)
+
+    @classmethod
+    def random(
+        cls,
+        quality: str = "medium",
+        *,
+        num_symbols: int = 256,
+        num_speakers: int = 1,
+        seed: int = 0,
+        **kw,
+    ) -> "TpuVoice":
+        """Random-weight voice (benchmarks, smoke tests)."""
+        model_cfg = ModelConfig.for_quality(
+            quality, num_symbols=num_symbols, num_speakers=num_speakers
+        )
+        params = M.init_synthesizer_params(jax.random.PRNGKey(seed), model_cfg)
+        id_map = {chr(32 + i): [i] for i in range(num_symbols)}
+        id_map.update({"_": [0], "^": [1], "$": [2]})
+        config = VoiceConfig(
+            num_symbols=num_symbols,
+            num_speakers=num_speakers,
+            sample_rate=model_cfg.audio.sample_rate,
+            espeak_voice="en-us",
+            inference=InferenceDefaults(),
+            phoneme_id_map=id_map,
+        )
+        return cls(params, model_cfg, config, seed=seed, **kw)
+
+    # ------------------------------------------------------------------
+    # Text front end
+    # ------------------------------------------------------------------
+
+    def phonemize(self, text: str) -> List[List[str]]:
+        return phonemize(text, self.config, backend=self.phonemizer)
+
+    def phonemes_to_ids(self, phonemes: Sequence[str]) -> List[int]:
+        return phonemes_to_ids(
+            phonemes, self.config.phoneme_id_map,
+            phoneme_map=self.config.phoneme_map or None,
+        )
+
+    # ------------------------------------------------------------------
+    # Synthesis
+    # ------------------------------------------------------------------
+
+    def _next_key(self, seed: Optional[int] = None):
+        if seed is not None:
+            return jax.random.PRNGKey(seed)
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def synthesize_ids_batch(
+        self,
+        ids_list: Sequence[Sequence[int]],
+        *,
+        syn: Optional[SynthesisConfig] = None,
+        stats: Optional[SynthesisStats] = None,
+    ) -> List[np.ndarray]:
+        """Synthesize many id sequences; returns float32 waveforms.
+
+        The device pipeline (per phoneme bucket): encode once, regroup
+        by frame bucket, decode batched; see module docstring.
+        """
+        syn = syn or SynthesisConfig()
+        inf = self.config.inference
+        noise_scale = jnp.float32(
+            syn.noise_scale if syn.noise_scale is not None else inf.noise_scale
+        )
+        length_scale = jnp.float32(
+            syn.length_scale if syn.length_scale is not None else inf.length_scale
+        )
+        noise_w = jnp.float32(
+            syn.noise_w if syn.noise_w is not None else inf.noise_w
+        )
+        t0 = time.perf_counter()
+
+        lengths = [len(ids) for ids in ids_list]
+        results: List[Optional[np.ndarray]] = [None] * len(ids_list)
+        u = self.model_cfg.upsample_factor
+
+        # Per-utterance keys: under syn.seed, keyed by (seed, content
+        # hash) so the same utterance yields identical audio in any
+        # batch composition; fresh stream keys otherwise.
+        if syn.seed is not None:
+            base = jax.random.PRNGKey(syn.seed)
+            utt_keys = [
+                jax.random.fold_in(
+                    base,
+                    zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF,
+                )
+                for ids in ids_list
+            ]
+        else:
+            utt_keys = list(jax.random.split(self._next_key(), max(len(ids_list), 1)))
+
+        for bucket, indices in batching.group_by_bucket(
+            lengths, self.phoneme_buckets
+        ):
+            b = len(indices)
+            ids_arr = np.zeros((b, bucket), np.int32)
+            len_arr = np.zeros((b,), np.int32)
+            for row, idx in enumerate(indices):
+                seq = np.asarray(ids_list[idx], np.int32)
+                ids_arr[row, : len(seq)] = seq
+                len_arr[row] = len(seq)
+            keys = jnp.stack([utt_keys[idx] for idx in indices])
+            sid = None
+            if self._multispeaker:
+                spk = syn.speaker_id if syn.speaker_id is not None else 0
+                sid = jnp.full((b,), spk, jnp.int32)
+
+            enc = self._encode(
+                self.params, jnp.asarray(ids_arr), jnp.asarray(len_arr),
+                noise_w, length_scale, keys, sid,
+            )
+            frames = np.asarray(jnp.sum(enc.durations, axis=-1))
+
+            for fbucket, rows in batching.group_by_bucket(
+                frames.tolist(), self.frame_buckets
+            ):
+                rows_idx = jnp.asarray(rows)
+                sub_enc = jax.tree.map(lambda a: a[rows_idx], enc)
+                sub_sid = sid[rows_idx] if sid is not None else None
+                audio, y_lengths = self._decode(
+                    self.params, sub_enc, int(fbucket), noise_scale,
+                    keys[rows_idx], sub_sid,
+                )
+                audio_np = np.asarray(audio, np.float32)
+                y_np = np.asarray(y_lengths)
+                for row_i, row in enumerate(rows):
+                    n = int(y_np[row_i]) * u
+                    results[indices[row]] = audio_np[row_i, :n]
+
+        dt = time.perf_counter() - t0
+        if stats is not None:
+            stats.infer_seconds += dt
+            stats.audio_seconds += sum(
+                len(r) for r in results if r is not None
+            ) / self.config.sample_rate
+        return [r if r is not None else np.zeros(0, np.float32) for r in results]
+
+    def synthesize_stream_raw(
+        self,
+        text: str,
+        *,
+        syn: Optional[SynthesisConfig] = None,
+        stats: Optional[SynthesisStats] = None,
+    ):
+        """Per-sentence int16 chunks (reference: voice.py:114-138),
+        with phrase splitting on silence phonemes
+        (reference: piper.cpp:508-537)."""
+        syn = syn or SynthesisConfig()
+        sentence_phonemes = self.phonemize(text)
+
+        phoneme_silence = (
+            syn.phoneme_silence_seconds
+            if syn.phoneme_silence_seconds is not None
+            else self.config.phoneme_silence_seconds
+        )
+        sr = self.config.sample_rate
+        sentence_silence = int(syn.sentence_silence_seconds * sr)
+
+        # Split each sentence into phrases at silence phonemes.
+        phrase_ids: List[List[int]] = []
+        # (sentence_idx, silence_samples) per phrase
+        phrase_meta: List[Tuple[int, int]] = []
+        for s_idx, phonemes in enumerate(sentence_phonemes):
+            if phoneme_silence:
+                current: List[str] = []
+                phrases: List[Tuple[List[str], int]] = []
+                for ph in phonemes:
+                    current.append(ph)
+                    if ph in phoneme_silence:
+                        phrases.append(
+                            (current, int(phoneme_silence[ph] * sr))
+                        )
+                        current = []
+                if current:
+                    phrases.append((current, 0))
+            else:
+                phrases = [(list(phonemes), 0)]
+            for phones, sil in phrases:
+                if not phones:
+                    continue
+                phrase_ids.append(self.phonemes_to_ids(phones))
+                phrase_meta.append((s_idx, sil))
+
+        audios = self.synthesize_ids_batch(phrase_ids, syn=syn, stats=stats)
+
+        # Reassemble per sentence, appending phrase/sentence silence.
+        n_sentences = len(sentence_phonemes)
+        for s_idx in range(n_sentences):
+            parts = []
+            for (meta_s, sil), audio in zip(phrase_meta, audios):
+                if meta_s != s_idx:
+                    continue
+                parts.append(audio)
+                if sil:
+                    parts.append(np.zeros(sil, np.float32))
+            if not parts:
+                continue
+            joined = np.concatenate(parts)
+            pcm = audio_float_to_int16(joined * syn.volume)
+            if sentence_silence:
+                pcm = np.concatenate(
+                    [pcm, np.zeros(sentence_silence, np.int16)]
+                )
+            yield pcm.tobytes()
+
+    def synthesize(
+        self,
+        text: str,
+        *,
+        syn: Optional[SynthesisConfig] = None,
+        stats: Optional[SynthesisStats] = None,
+    ) -> np.ndarray:
+        """Text -> int16 waveform."""
+        chunks = list(self.synthesize_stream_raw(text, syn=syn, stats=stats))
+        if not chunks:
+            return np.zeros(0, np.int16)
+        return np.frombuffer(b"".join(chunks), dtype=np.int16)
+
+    def synthesize_wav(
+        self, text: str, wav_file, *, syn: Optional[SynthesisConfig] = None,
+        stats: Optional[SynthesisStats] = None,
+    ) -> None:
+        """Write synthesized audio into an open wave.Wave_write
+        (reference: voice.py:89-112)."""
+        wav_file.setframerate(self.config.sample_rate)
+        wav_file.setsampwidth(2)
+        wav_file.setnchannels(1)
+        for chunk in self.synthesize_stream_raw(text, syn=syn, stats=stats):
+            wav_file.writeframes(chunk)
+
+    # ------------------------------------------------------------------
+    # Warmup
+    # ------------------------------------------------------------------
+
+    def warmup(self, batch_sizes=(1,), max_phoneme_bucket: Optional[int] = None):
+        """Pre-compile encode/decode for the bucket ladder."""
+        for b in batch_sizes:
+            for pb in self.phoneme_buckets:
+                if max_phoneme_bucket and pb > max_phoneme_bucket:
+                    break
+                ids = jnp.zeros((b, pb), jnp.int32)
+                lengths = jnp.full((b,), pb, jnp.int32)
+                sid = (
+                    jnp.zeros((b,), jnp.int32) if self._multispeaker else None
+                )
+                keys = jax.random.split(jax.random.PRNGKey(0), b)
+                enc = self._encode(
+                    self.params, ids, lengths, jnp.float32(0.8),
+                    jnp.float32(1.0), keys, sid,
+                )
+                jax.block_until_ready(enc)

@@ -1,0 +1,143 @@
+"""Runtime tests: voice config contract, id mapping vs shipped
+fixtures, bucketed batched synthesis, WAV output.
+
+Uses the reference repo's own test fixtures (etc/test_voice.onnx.json
+and etc/test_sentences/test_en-us.jsonl) as ground truth for the text
+front end, and a random-weight voice for the synthesis smoke test
+(the reference's test-voice ONNX binary is absent from this mount).
+"""
+
+import io
+import json
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from piper_tpu.config import SynthesisConfig, VoiceConfig
+from piper_tpu.models.vits.model import init_synthesizer_params
+from piper_tpu.runtime.batching import group_by_bucket, pick_bucket
+from piper_tpu.runtime.voice import SynthesisStats, TpuVoice
+from piper_tpu.runtime.wav import audio_float_to_int16, read_wav, wav_bytes
+from piper_tpu.text.phonemes import phonemes_to_ids
+from piper_tpu.text.phonemize import FixturePhonemizer, split_sentences
+
+REF_CONFIG = "/root/reference/etc/test_voice.onnx.json"
+REF_JSONL = "/root/reference/etc/test_sentences/test_en-us.jsonl"
+
+
+def test_voice_config_contract():
+    cfg = VoiceConfig.from_file(REF_CONFIG)
+    assert cfg.num_symbols == 130
+    assert cfg.num_speakers == 1
+    assert cfg.sample_rate == 16000
+    assert cfg.espeak_voice == "en-us"
+    assert cfg.inference.noise_scale == 0.667
+    assert cfg.inference.noise_w == 0.8
+    assert cfg.phoneme_id_map["_"] == [0]
+    assert cfg.phoneme_id_map["^"] == [1]
+    assert cfg.phoneme_id_map["$"] == [2]
+    # round trip
+    d = cfg.to_dict()
+    cfg2 = VoiceConfig.from_dict(d)
+    assert cfg2.num_symbols == cfg.num_symbols
+    assert cfg2.phoneme_id_map == cfg.phoneme_id_map
+
+
+def test_phoneme_ids_match_reference_fixtures():
+    """Our phonemes_to_ids must reproduce the shipped phoneme_ids for
+    every en-us fixture record (BOS/EOS/interspersed-PAD semantics)."""
+    cfg = VoiceConfig.from_file(REF_CONFIG)
+    # fixture ids were generated with the full espeak id map; use the
+    # voice config map (same layout for en-us)
+    n = 0
+    with open(REF_JSONL) as f:
+        for line in f:
+            rec = json.loads(line)
+            ids = phonemes_to_ids(rec["phonemes"], cfg.phoneme_id_map)
+            assert ids == rec["phoneme_ids"], rec["text"][:40]
+            n += 1
+    assert n >= 5
+
+
+def test_split_sentences():
+    assert split_sentences("Hello there. How are you? Good!") == [
+        "Hello there.", "How are you?", "Good!",
+    ]
+    assert split_sentences("no punctuation at all") == ["no punctuation at all"]
+
+
+def test_bucketing():
+    assert pick_bucket(1, [32, 64]) == 32
+    assert pick_bucket(33, [32, 64]) == 64
+    groups = dict(group_by_bucket([5, 40, 10, 64], [32, 64]))
+    assert groups[32] == [0, 2]
+    assert groups[64] == [1, 3]
+
+
+def test_wav_roundtrip(tmp_path):
+    audio = (np.sin(np.linspace(0, 100, 1600)) * 0.5).astype(np.float32)
+    pcm = audio_float_to_int16(audio)
+    b = wav_bytes(pcm, 16000)
+    p = tmp_path / "t.wav"
+    p.write_bytes(b)
+    sr, data = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_array_equal(data, pcm)
+
+
+@pytest.fixture(scope="module")
+def fixture_voice():
+    config = VoiceConfig.from_file(REF_CONFIG)
+    model_cfg = config.model_config()
+    assert model_cfg.audio.sample_rate == 16000
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    return TpuVoice(
+        params, model_cfg, config,
+        phonemizer=FixturePhonemizer(REF_JSONL),
+        seed=0,
+        phoneme_buckets=[64, 128, 256, 512],
+        frame_buckets=[128, 256, 512, 1024, 2048],
+    )
+
+
+def test_synthesize_smoke(fixture_voice):
+    """The reference smoke test floor: WAV >= 10000 bytes for one
+    sentence (reference: src/cpp/test.cpp:52-55)."""
+    text = "It takes the form of a multi-colored circular arc."
+    stats = SynthesisStats()
+    audio = fixture_voice.synthesize(text, stats=stats)
+    assert audio.dtype == np.int16
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        fixture_voice.synthesize_wav(text, w)
+    assert len(buf.getvalue()) >= 10_000
+    assert stats.audio_seconds > 0 and stats.infer_seconds > 0
+
+
+def test_batched_equals_individual(fixture_voice):
+    """Bucketed batch synthesis returns the same waveforms as one-by-one
+    synthesis with the same seed."""
+    recs = [json.loads(l) for l in open(REF_JSONL)][:4]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=7)
+    batch = fixture_voice.synthesize_ids_batch(ids_list, syn=syn)
+    for i, ids in enumerate(ids_list):
+        solo = fixture_voice.synthesize_ids_batch([ids], syn=syn)[0]
+        assert len(solo) == len(batch[i])
+        np.testing.assert_allclose(batch[i], solo, atol=2e-4)
+
+
+def test_sentence_silence(fixture_voice):
+    recs = [json.loads(l) for l in open(REF_JSONL)][:1]
+    text = recs[0]["text"]
+    syn0 = SynthesisConfig(sentence_silence_seconds=0.0, seed=3)
+    syn1 = SynthesisConfig(sentence_silence_seconds=0.25, seed=3)
+    a0 = fixture_voice.synthesize(text, syn=syn0)
+    a1 = fixture_voice.synthesize(text, syn=syn1)
+    extra = len(a1) - len(a0)
+    assert extra == int(0.25 * fixture_voice.config.sample_rate)
+    assert np.all(a1[-extra:] == 0)
