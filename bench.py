@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: audio-seconds/s/chip for batched VITS synthesis.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline target (BASELINE.md): >=50x realtime audio-seconds/s/chip,
+medium-quality voice, batch 32, on one TPU v5e chip. vs_baseline is
+value / 50.
+
+Methodology mirrors the reference harness semantics
+(src/benchmark/benchmark_onnx.py): pre-tokenized phoneme ids in,
+waveform out, wall-clock end-to-end on device including host
+orchestration; warmup excluded. Sentences come from the reference's
+en-us fixture set; the voice is random-weight medium quality (the
+graph/compute is identical to a trained voice).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quality", default="medium")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--precision", default="fast", choices=["fast", "parity"])
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from piper_tpu.runtime.voice import TpuVoice
+    from piper_tpu.config import SynthesisConfig
+
+    # Fixture sentences (pre-phonemized ids, reference test set).
+    ids_list = []
+    with open("/root/reference/etc/test_sentences/test_en-us.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            ids_list.append(rec["phoneme_ids"])
+    while len(ids_list) < args.batch:
+        ids_list = ids_list + ids_list
+    ids_list = ids_list[: args.batch]
+
+    voice = TpuVoice.random(
+        args.quality, num_symbols=256, seed=0, precision=args.precision,
+        phoneme_buckets=[128, 256, 512],
+        frame_buckets=[512, 1024, 2048, 4096],
+    )
+    sr = voice.config.sample_rate
+    syn = SynthesisConfig(seed=0)
+
+    # Warmup (compilation)
+    t0 = time.perf_counter()
+    out = voice.synthesize_ids_batch(ids_list, syn=syn)
+    load_sec = time.perf_counter() - t0
+
+    audio_seconds = sum(len(a) for a in out) / sr
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = voice.synthesize_ids_batch(ids_list, syn=syn)
+        times.append(time.perf_counter() - t0)
+    infer_sec = float(np.median(times))
+
+    n_chips = max(jax.device_count(), 1)
+    value = audio_seconds / infer_sec / n_chips
+    result = {
+        "metric": "audio-seconds/s/chip",
+        "value": round(value, 2),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(value / 50.0, 3),
+    }
+    if not args.json_only:
+        detail = {
+            "quality": args.quality,
+            "batch": args.batch,
+            "precision": args.precision,
+            "sample_rate": sr,
+            "audio_seconds_per_batch": round(audio_seconds, 2),
+            "batch_wall_s": round(infer_sec, 4),
+            "compile_plus_first_batch_s": round(load_sec, 2),
+            "rtf": round(infer_sec / audio_seconds, 6),
+            "p50_latency_per_batch_s": round(infer_sec, 4),
+            "devices": n_chips,
+            "times": [round(t, 4) for t in times],
+        }
+        print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
