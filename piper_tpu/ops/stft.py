@@ -49,8 +49,11 @@ def mel_filterbank(
         min_log_hz = 1000.0
         min_log_mel = min_log_hz / f_sp
         logstep = np.log(6.4) / 27.0
+        safe_f = np.maximum(f, 1e-10)
         return np.where(
-            f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels
+            f >= min_log_hz,
+            min_log_mel + np.log(safe_f / min_log_hz) / logstep,
+            mels,
         )
 
     def mel_to_hz(m):
