@@ -138,12 +138,15 @@ def _convert_sdp(s: _SD, has_cond: bool) -> Params:
         "pre": s.dense("pre"),
         "proj": s.dense("proj"),
         "convs": _convert_ddsconv(s.sub("convs"), 3),
-        "post_pre": s.dense("post_pre"),
-        "post_proj": s.dense("post_proj"),
-        "post_convs": _convert_ddsconv(s.sub("post_convs"), 3),
         "flows": _convert_sdp_flowlist(s.sub("flows"), 4),
-        "post_flows": _convert_sdp_flowlist(s.sub("post_flows"), 4),
     }
+    # Posterior (training-only) flows are pruned from inference-only
+    # exports (ONNX voices keep only the reverse path).
+    if s.has("post_pre.weight"):
+        p["post_pre"] = s.dense("post_pre")
+        p["post_proj"] = s.dense("post_proj")
+        p["post_convs"] = _convert_ddsconv(s.sub("post_convs"), 3)
+        p["post_flows"] = _convert_sdp_flowlist(s.sub("post_flows"), 4)
     if has_cond and s.has("cond.weight"):
         p["cond"] = s.dense("cond")
     return p
