@@ -113,6 +113,51 @@ def synthesizer_encode(
     return EncodeResult(m_p, logs_p, durations, x_mask)
 
 
+def synthesizer_latents(
+    params: Params,
+    enc: EncodeResult,
+    num_frames: int,
+    *,
+    cfg: ModelConfig,
+    noise_scale: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    frame_noise: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prior expansion + latent sampling (models.py:705-718).
+
+    Returns (z_p (B, num_frames, C), y_mask (B, num_frames, 1)).
+    """
+    m_p, y_mask = expand_by_duration(enc.m_p, enc.durations, num_frames)
+    logs_p, _ = expand_by_duration(enc.logs_p, enc.durations, num_frames)
+    y_mask = y_mask.astype(dtype)
+
+    if frame_noise is None:
+        if rng is None:
+            raise ValueError("need rng or frame_noise")
+        frame_noise = jax.random.normal(rng, m_p.shape, jnp.float32).astype(dtype)
+    z_p = m_p + frame_noise * jnp.exp(logs_p) * noise_scale
+    return z_p * y_mask, y_mask  # padded frames carry no signal
+
+
+def synthesizer_vocode(
+    params: Params,
+    z_p: jnp.ndarray,
+    y_mask: jnp.ndarray,
+    *,
+    cfg: ModelConfig,
+    sid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Flow reverse + HiFiGAN (models.py:719-720): z_p -> waveform.
+
+    This is the chunkable stage for streaming synthesis (the
+    reference's VitsDecoder split, export_onnx_streaming.py:61-69).
+    """
+    g = speaker_embedding(params, cfg, sid)
+    z = F.flow_apply(params["flow"], z_p, y_mask, cfg=cfg, g=g, reverse=True)
+    return G.generator_apply(params["dec"], z * y_mask, y_mask, cfg=cfg, g=g)
+
+
 def synthesizer_decode(
     params: Params,
     enc: EncodeResult,
@@ -129,21 +174,11 @@ def synthesizer_decode(
 
     Returns (audio (B, num_frames * upsample_factor), y_lengths (B,)).
     """
-    g = speaker_embedding(params, cfg, sid)
-
-    m_p, y_mask = expand_by_duration(enc.m_p, enc.durations, num_frames)
-    logs_p, _ = expand_by_duration(enc.logs_p, enc.durations, num_frames)
-    y_mask = y_mask.astype(dtype)
-
-    if frame_noise is None:
-        if rng is None:
-            raise ValueError("need rng or frame_noise")
-        frame_noise = jax.random.normal(rng, m_p.shape, jnp.float32).astype(dtype)
-    z_p = m_p + frame_noise * jnp.exp(logs_p) * noise_scale
-    z_p = z_p * y_mask  # padded frames carry no signal
-
-    z = F.flow_apply(params["flow"], z_p, y_mask, cfg=cfg, g=g, reverse=True)
-    audio = G.generator_apply(params["dec"], z * y_mask, y_mask, cfg=cfg, g=g)
+    z_p, y_mask = synthesizer_latents(
+        params, enc, num_frames, cfg=cfg, noise_scale=noise_scale, rng=rng,
+        frame_noise=frame_noise, dtype=dtype,
+    )
+    audio = synthesizer_vocode(params, z_p, y_mask, cfg=cfg, sid=sid)
     y_lengths = jnp.sum(enc.durations, axis=-1)
     return audio, y_lengths
 

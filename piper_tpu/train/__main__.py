@@ -1,0 +1,232 @@
+"""Training CLI.
+
+Counterpart of `python -m piper_train` (reference
+src/python/piper_train/__main__.py:15-147): reads a preprocessed
+directory (config.json + dataset.jsonl), builds the model per quality
+preset, and runs the GAN training loop — here as a jit/pjit-compiled
+JAX step over a ('data','model') device mesh with orbax checkpointing.
+
+Also implements the single->multi-speaker checkpoint surgery
+(reference __main__.py:92-140): speaker-conditioning parameters that
+don't exist in the source checkpoint keep their fresh initialization.
+
+Usage:
+  python -m piper_tpu.train --dataset-dir out --quality medium \
+      --batch-size 32 --max-steps 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, VoiceConfig
+from ..parallel.mesh import make_mesh
+from ..parallel.sharding import make_sharded_train_step, shard_batch
+from .dataset import BucketedLoader, load_dataset
+from .step import init_train_state, make_optimizer
+
+_LOGGER = logging.getLogger(__name__)
+
+
+def merge_params(dst: Any, src: Any) -> Any:
+    """Copy matching leaves of src into dst (same path + shape); keep
+    dst's fresh init elsewhere — the multi-speaker surgery."""
+    if isinstance(dst, dict) and isinstance(src, dict):
+        return {
+            k: merge_params(dst[k], src[k]) if k in src else dst[k] for k in dst
+        }
+    if isinstance(dst, list) and isinstance(src, list):
+        return [
+            merge_params(d, s) for d, s in zip(dst, src)
+        ] + list(dst[len(src):])
+    if hasattr(dst, "shape") and hasattr(src, "shape") and dst.shape == src.shape:
+        return src
+    return dst
+
+
+def save_checkpoint(ckpt_dir: Path, state, step: int) -> None:
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = ckpt_dir.absolute()
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+
+
+def restore_checkpoint(ckpt_dir: Path, state):
+    import orbax.checkpoint as ocp
+
+    from .step import TrainState
+
+    ckpt_dir = Path(ckpt_dir).absolute()
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            return state, 0
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(state._asdict())
+        )
+        return TrainState(**restored), step
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset-dir", required=True,
+                   help="Directory with config.json and dataset.jsonl")
+    p.add_argument("--checkpoint-dir",
+                   help="Checkpoint directory (default: dataset-dir/ckpt)")
+    p.add_argument("--quality", default="medium",
+                   choices=("x-low", "low", "medium", "high"))
+    p.add_argument("--batch-size", type=int, required=True)
+    p.add_argument("--max-steps", type=int, default=2_000_000)
+    p.add_argument("--max-epochs", type=int, default=10_000)
+    p.add_argument("--checkpoint-steps", type=int, default=2000)
+    p.add_argument("--log-steps", type=int, default=50)
+    p.add_argument("--max-phoneme-ids", type=int)
+    p.add_argument("--learning-rate", type=float, default=2e-4)
+    p.add_argument("--grad-clip", type=float)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--num-test-examples", type=int, default=5)
+    p.add_argument("--validation-split", type=float, default=0.1)
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from latest checkpoint in checkpoint-dir")
+    p.add_argument("--resume-from-single-speaker-checkpoint",
+                   help="Native .npz voice to initialize a multi-speaker run from")
+    p.add_argument("--data-parallel", type=int,
+                   help="Devices on the data axis (default: all)")
+    p.add_argument("--precision", choices=("fast", "parity"), default="fast")
+    p.add_argument("--export-every", type=int, default=0,
+                   help="Export a .npz voice every N steps (0 = only at end)")
+    p.add_argument("--debug", action="store_true")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    dataset_dir = Path(args.dataset_dir)
+    ckpt_dir = Path(args.checkpoint_dir or dataset_dir / "ckpt")
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    vcfg = VoiceConfig.from_file(dataset_dir / "config.json")
+    cfg = ModelConfig.for_quality(
+        args.quality,
+        num_symbols=vcfg.num_symbols,
+        num_speakers=vcfg.num_speakers,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        audio=dataclasses.replace(cfg.audio, sample_rate=vcfg.sample_rate),
+    )
+    _LOGGER.info("Model: %s", cfg)
+
+    utterances = load_dataset(
+        [dataset_dir / "dataset.jsonl"], max_phoneme_ids=args.max_phoneme_ids
+    )
+    n_val = int(len(utterances) * args.validation_split)
+    rng_py = np.random.default_rng(args.seed)
+    order = rng_py.permutation(len(utterances))
+    val_utts = [utterances[i] for i in order[:n_val]]
+    train_utts = [utterances[i] for i in order[n_val:]]
+    _LOGGER.info("Train %s / val %s utterances", len(train_utts), len(val_utts))
+
+    loader = BucketedLoader(
+        train_utts,
+        batch_size=args.batch_size,
+        hop_length=cfg.audio.hop_length,
+        segment_size=cfg.segment_size,
+        multispeaker=cfg.num_speakers > 1,
+        seed=args.seed,
+    )
+
+    steps_per_epoch = max(len(train_utts) // args.batch_size, 1)
+    tx = make_optimizer(
+        learning_rate=args.learning_rate,
+        steps_per_epoch=steps_per_epoch,
+        grad_clip=args.grad_clip,
+    )
+    state, _ = init_train_state(
+        jax.random.PRNGKey(args.seed), cfg, optimizer=tx,
+        steps_per_epoch=steps_per_epoch,
+    )
+    start_step = 0
+    if args.resume:
+        state, start_step = restore_checkpoint(ckpt_dir, state)
+        _LOGGER.info("Resumed from step %s", start_step)
+    elif args.resume_from_single_speaker_checkpoint:
+        from ..weights.native import load_native
+
+        src_params, _src_cfg = load_native(
+            args.resume_from_single_speaker_checkpoint
+        )
+        state = state._replace(
+            params_g=merge_params(state.params_g, src_params)
+        )
+        _LOGGER.info("Initialized generator from single-speaker checkpoint")
+
+    mesh = make_mesh(data=args.data_parallel, model=1)
+    step_fn = make_sharded_train_step(
+        cfg, tx, mesh,
+        dtype=jnp.bfloat16 if args.precision == "fast" else jnp.float32,
+    )
+
+    metrics_path = ckpt_dir / "metrics.jsonl"
+    key = jax.random.PRNGKey(args.seed + 1)
+    step = start_step
+    t_start = time.perf_counter()
+    with mesh, open(metrics_path, "a", encoding="utf-8") as metrics_file:
+        for epoch in range(args.max_epochs):
+            for batch in loader:
+                if batch["ids"].shape[0] % mesh.devices.size != 0:
+                    continue  # partial batch not divisible over mesh
+                key, sub = jax.random.split(key)
+                batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+                )
+                state, metrics = step_fn(state, batch, sub)
+                step += 1
+                if step % args.log_steps == 0:
+                    vals = {
+                        k: round(float(v), 5) for k, v in metrics.items()
+                    }
+                    vals.update(
+                        step=step, epoch=epoch,
+                        wall_s=round(time.perf_counter() - t_start, 1),
+                    )
+                    metrics_file.write(json.dumps(vals) + "\n")
+                    metrics_file.flush()
+                    _LOGGER.info(
+                        "step %s gen %.3f disc %.3f mel %.3f",
+                        step, vals["loss_gen_all"], vals["loss_disc_all"],
+                        vals["loss_mel"],
+                    )
+                if step % args.checkpoint_steps == 0:
+                    save_checkpoint(ckpt_dir, jax.device_get(state), step)
+                if args.export_every and step % args.export_every == 0:
+                    _export(ckpt_dir, state, cfg, step)
+                if step >= args.max_steps:
+                    break
+            if step >= args.max_steps:
+                break
+
+    save_checkpoint(ckpt_dir, jax.device_get(state), step)
+    _export(ckpt_dir, state, cfg, step)
+    _LOGGER.info("Done at step %s", step)
+
+
+def _export(ckpt_dir: Path, state, cfg: ModelConfig, step: int) -> None:
+    from ..weights.native import save_native
+
+    path = ckpt_dir / f"voice_{step}.npz"
+    save_native(str(path), jax.device_get(state.params_g), cfg)
+    _LOGGER.info("Exported %s", path)
+
+
+if __name__ == "__main__":
+    main()
