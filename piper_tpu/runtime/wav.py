@@ -18,11 +18,14 @@ import numpy as np
 def audio_float_to_int16(
     audio: np.ndarray, max_wav_value: float = 32767.0
 ) -> np.ndarray:
-    """Peak-normalize float audio to int16 range."""
-    audio = np.asarray(audio, np.float32)
-    peak = float(np.max(np.abs(audio))) if audio.size else 0.0
-    audio_norm = audio * (max_wav_value / max(0.01, peak))
-    return np.clip(audio_norm, -max_wav_value, max_wav_value).astype(np.int16)
+    """Peak-normalize float audio to int16 range.
+
+    Uses the native C++ kernel when built (piper_tpu.native), numpy
+    otherwise — both implement the same math.
+    """
+    from .. import native
+
+    return native.normalize_to_int16(np.asarray(audio, np.float32), max_wav_value)
 
 
 def write_wav(
