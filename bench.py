@@ -35,6 +35,9 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/piper_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from piper_tpu.runtime.voice import TpuVoice
     from piper_tpu.config import SynthesisConfig
 

@@ -136,7 +136,10 @@ def synthesizer_latents(
         if rng is None:
             raise ValueError("need rng or frame_noise")
         frame_noise = jax.random.normal(rng, m_p.shape, jnp.float32).astype(dtype)
-    z_p = m_p + frame_noise * jnp.exp(logs_p) * noise_scale
+    # keep the compute dtype: a strongly-typed f32 scalar would promote
+    # the whole decode graph to f32
+    noise_scale = jnp.asarray(noise_scale, m_p.dtype)
+    z_p = m_p + frame_noise.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
     return z_p * y_mask, y_mask  # padded frames carry no signal
 
 

@@ -111,6 +111,8 @@ class TpuVoice:
                     dtype=dtype,
                 )
 
+        fast_io = precision != "parity"
+
         def decode_fn(params, enc, num_frames, noise_scale, keys, sid):
             with jax.default_matmul_precision(mm_prec):
                 frame_noise = jax.vmap(
@@ -120,10 +122,19 @@ class TpuVoice:
                         jnp.float32,
                     )
                 )(keys).astype(dtype)
-                return M.synthesizer_decode(
+                audio, y_lengths = M.synthesizer_decode(
                     params, enc, num_frames, cfg=cfg, noise_scale=noise_scale,
                     sid=sid, frame_noise=frame_noise, dtype=dtype,
                 )
+                if fast_io:
+                    # Device-side int16: halves the device->host bytes
+                    # (tanh output is bounded in [-1, 1]).
+                    audio = jnp.round(
+                        jnp.clip(audio.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
+                else:
+                    audio = audio.astype(jnp.float32)
+                return audio, y_lengths
 
         self._encode = jax.jit(encode_fn)
         self._decode = jax.jit(decode_fn, static_argnums=(2,))
@@ -266,6 +277,8 @@ class TpuVoice:
         else:
             utt_keys = list(jax.random.split(self._next_key(), max(len(ids_list), 1)))
 
+        # Phase A: dispatch every encode (async — no host sync yet).
+        encode_groups = []
         for bucket, indices in batching.group_by_bucket(
             lengths, self.phoneme_buckets
         ):
@@ -281,28 +294,45 @@ class TpuVoice:
             if self._multispeaker:
                 spk = syn.speaker_id if syn.speaker_id is not None else 0
                 sid = jnp.full((b,), spk, jnp.int32)
-
             enc = self._encode(
                 self.params, jnp.asarray(ids_arr), jnp.asarray(len_arr),
                 noise_w, length_scale, keys, sid,
             )
-            frames = np.asarray(jnp.sum(enc.durations, axis=-1))
+            frames_dev = jnp.sum(enc.durations, axis=-1)
+            encode_groups.append((indices, enc, frames_dev, keys, sid))
 
+        # Phase B: sync frame counts (small int32 transfers), dispatch
+        # every decode, and start async device->host audio copies so
+        # transfers overlap with later groups' compute.
+        decode_groups = []
+        for indices, enc, frames_dev, keys, sid in encode_groups:
+            frames = np.asarray(frames_dev)
             for fbucket, rows in batching.group_by_bucket(
                 frames.tolist(), self.frame_buckets
             ):
                 rows_idx = jnp.asarray(rows)
                 sub_enc = jax.tree.map(lambda a: a[rows_idx], enc)
                 sub_sid = sid[rows_idx] if sid is not None else None
-                audio, y_lengths = self._decode(
+                audio, _y_lengths = self._decode(
                     self.params, sub_enc, int(fbucket), noise_scale,
                     keys[rows_idx], sub_sid,
                 )
-                audio_np = np.asarray(audio, np.float32)
-                y_np = np.asarray(y_lengths)
-                for row_i, row in enumerate(rows):
-                    n = int(y_np[row_i]) * u
-                    results[indices[row]] = audio_np[row_i, :n]
+                try:
+                    audio.copy_to_host_async()
+                except AttributeError:  # non-jax array in tests
+                    pass
+                decode_groups.append((indices, rows, frames, audio))
+
+        # Phase C: collect and slice.
+        for indices, rows, frames, audio in decode_groups:
+            audio_np = np.asarray(audio)
+            if audio_np.dtype == np.int16:
+                audio_np = audio_np.astype(np.float32) / 32767.0
+            else:
+                audio_np = audio_np.astype(np.float32)
+            for row_i, row in enumerate(rows):
+                n = int(frames[row]) * u
+                results[indices[row]] = audio_np[row_i, :n]
 
         dt = time.perf_counter() - t0
         if stats is not None:
