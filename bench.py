@@ -35,7 +35,7 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/piper_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from piper_tpu.runtime.voice import TpuVoice
@@ -51,10 +51,13 @@ def main():
         ids_list = ids_list + ids_list
     ids_list = ids_list[: args.batch]
 
+    # Finer frame buckets cut padded-tail device->host bytes (the
+    # bottleneck on tunneled chips) at the cost of more one-time
+    # compilations (persistently cached).
     voice = TpuVoice.random(
         args.quality, num_symbols=256, seed=0, precision=args.precision,
         phoneme_buckets=[128, 256, 512],
-        frame_buckets=[512, 1024, 2048, 4096],
+        frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
     )
     sr = voice.config.sample_rate
     syn = SynthesisConfig(seed=0)

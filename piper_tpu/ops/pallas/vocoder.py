@@ -1,0 +1,283 @@
+"""Fused HiFiGAN MRF residual-stack kernel (Pallas, TPU).
+
+The MRF section of each upsample stage (reference: models.py:353-363 +
+modules.py:220-368) is a chain of small-channel dilated convolutions.
+In XLA/NWC form every conv round-trips its activation through HBM with
+channels on the 128-lane axis — at the late stages (64/32 channels)
+that pads 2-4x, and the ~18 elementwise+conv passes per stage are all
+HBM-bandwidth-bound.
+
+This kernel runs the whole MRF stage in one pass, time-major:
+
+  - activations live in VMEM as (C, T_tile + 2*halo) tiles with the
+    time axis on lanes — zero layout padding for any C;
+  - each dilated conv is k static lane-shifts, each a (C_out x C_in)
+    @ (C_in x T) MXU matmul — contraction over channels;
+  - the full residual chain (leaky_relu -> conv -> ... -> +x, averaged
+    over kernels) is computed per tile; HBM sees one read of x and one
+    write of the result;
+  - per-row valid lengths mask intermediate activations exactly like
+    the reference's x_mask, so batched == solo semantics are preserved
+    at tile AND utterance boundaries (halo tiles read neighbor data
+    from HBM; beyond-sequence positions are zeroed).
+
+Weights are passed as one packed (n_convs, k_max, C, C) array + bias
+matrix so the kernel signature is static across stages.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+
+def _stage_plan(
+    kernel_sizes: Sequence[int],
+    dilation_sizes: Sequence[Sequence[int]],
+    resblock_type: str,
+) -> Tuple[List[List[Tuple[int, int]]], int]:
+    """Per-resblock list of (kernel, dilation) conv steps + halo."""
+    blocks: List[List[Tuple[int, int]]] = []
+    for k, dils in zip(kernel_sizes, dilation_sizes):
+        steps: List[Tuple[int, int]] = []
+        if resblock_type == "1":
+            for d in dils:
+                steps.append((k, d))
+                steps.append((k, 1))
+        else:
+            for d in dils:
+                steps.append((k, d))
+        blocks.append(steps)
+    halo = max(
+        sum((k * d - d) // 2 for k, d in steps) for steps in blocks
+    )
+    return blocks, halo
+
+
+def _mrf_kernel(
+    # prefetch scalars
+    lengths_ref,  # (B,) int32 valid samples per row
+    # inputs
+    x_ref,  # (1, C, W) VMEM tile (W = T_tile + 2*halo)
+    w_ref,  # (n_convs, k_max, C, C)
+    b_ref,  # (n_convs, C)
+    # outputs
+    out_ref,  # (1, C, T_tile)
+    *,
+    blocks: List[List[Tuple[int, int]]],
+    halo: int,
+    t_tile: int,
+    c: int,
+    acc_dtype,
+):
+    b_idx = pl.program_id(0)
+    tile_idx = pl.program_id(1)
+    width = t_tile + 2 * halo
+    t0 = tile_idx * t_tile - halo  # global position of tile column 0
+
+    valid_len = lengths_ref[b_idx]
+    # lane position -> global sample index
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + t0
+    valid = (pos >= 0) & (pos < valid_len)  # (1, W)
+
+    x = x_ref[0, 0]  # (C, W)
+    x = jnp.where(valid, x, 0.0)
+
+    def lrelu(v):
+        # max/min form: Mosaic rejects bf16 ordered compares on some
+        # targets ("Target does not support this comparison")
+        slope = jnp.asarray(LRELU_SLOPE, v.dtype)
+        return jnp.maximum(v, 0) + slope * jnp.minimum(v, 0)
+
+    def conv_step(h, conv_idx, k, d):
+        """Same-padded dilated conv over the tile (edges read zeros)."""
+        pad = (k * d - d) // 2
+        # bias stored (n_convs, C, 1) f32: broadcasting along lanes
+        # avoids a bf16 minor-dim insertion Mosaic rejects
+        acc = jnp.broadcast_to(
+            b_ref[conv_idx].astype(acc_dtype), (c, width)
+        )
+        for kk in range(k):
+            shift = kk * d - pad
+            # h shifted by `shift` along lanes with zero fill
+            if shift == 0:
+                seg = h
+            elif shift > 0:
+                seg = jnp.pad(h, ((0, 0), (0, shift)))[:, shift:]
+            else:
+                seg = jnp.pad(h, ((0, 0), (-shift, 0)))[:, :width]
+            w_kk = w_ref[conv_idx, kk].astype(h.dtype)  # (C_in, C_out)
+            acc = acc + jax.lax.dot_general(
+                w_kk, seg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+        return acc.astype(h.dtype)
+
+    conv_idx = 0
+    xs = None
+    for steps in blocks:
+        h = x
+        if len(steps) and _is_resblock1(steps):
+            # resblock1: pairs (conv_d, conv_1) with residual after each pair
+            for i in range(0, len(steps), 2):
+                k1, d1 = steps[i]
+                k2, d2 = steps[i + 1]
+                ht = lrelu(h)
+                ht = jnp.where(valid, ht, 0.0)
+                ht = conv_step(ht, conv_idx, k1, d1)
+                conv_idx += 1
+                ht = lrelu(ht)
+                ht = jnp.where(valid, ht, 0.0)
+                ht = conv_step(ht, conv_idx, k2, d2)
+                conv_idx += 1
+                h = ht + h
+        else:
+            for k, d in steps:
+                ht = lrelu(h)
+                ht = jnp.where(valid, ht, 0.0)
+                ht = conv_step(ht, conv_idx, k, d)
+                conv_idx += 1
+                h = ht + h
+        h = jnp.where(valid, h, 0.0)
+        xs = h if xs is None else xs + h
+
+    out = xs / len(blocks)
+    out_ref[0] = out[:, halo : halo + t_tile]
+
+
+def _is_resblock1(steps: List[Tuple[int, int]]) -> bool:
+    # resblock1 steps come in (k,d),(k,1) pairs
+    return (
+        len(steps) % 2 == 0
+        and all(steps[i + 1][1] == 1 for i in range(0, len(steps), 2))
+        and any(d != 1 for _, d in steps[0::2])
+    )
+
+
+def pack_stage_weights(
+    resblock_params: Sequence[Dict[str, Any]],
+    kernel_sizes: Sequence[int],
+    dilation_sizes: Sequence[Sequence[int]],
+    resblock_type: str,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack per-stage conv weights into (n_convs, k_max, C, C) + biases.
+
+    Weight layout inside: (C_in, C_out) per tap (kernel stores (k, C_in,
+    C_out) as everywhere in this repo).
+    """
+    convs = []
+    biases = []
+    for j, p in enumerate(resblock_params):
+        if resblock_type == "1":
+            for c1, c2 in zip(p["convs1"], p["convs2"]):
+                convs.append(c1["w"])
+                biases.append(c1["b"])
+                convs.append(c2["w"])
+                biases.append(c2["b"])
+        else:
+            for cp in p["convs"]:
+                convs.append(cp["w"])
+                biases.append(cp["b"])
+    k_max = max(w.shape[0] for w in convs)
+    c = convs[0].shape[-1]
+    packed = np.zeros((len(convs), k_max, c, c), np.float32)
+    for i, w in enumerate(convs):
+        packed[i, : w.shape[0]] = np.asarray(w, np.float32)
+    packed_b = np.stack([np.asarray(b, np.float32) for b in biases])[..., None]
+    return (
+        jnp.asarray(packed, dtype),
+        jnp.asarray(packed_b, jnp.float32),  # (n_convs, C, 1) f32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_sizes", "dilation_sizes", "resblock_type", "t_tile", "interpret"
+    ),
+)
+def mrf_fused(
+    x_tm: jnp.ndarray,  # (B, C, T) time-major, already masked
+    lengths: jnp.ndarray,  # (B,) int32 valid samples
+    packed_w: jnp.ndarray,  # (n_convs, k_max, C, C)
+    packed_b: jnp.ndarray,  # (n_convs, C)
+    *,
+    kernel_sizes: Tuple[int, ...],
+    dilation_sizes: Tuple[Tuple[int, ...], ...],
+    resblock_type: str,
+    t_tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MRF stage: returns mean of resblocks, (B, C, T)."""
+    blocks, halo = _stage_plan(kernel_sizes, dilation_sizes, resblock_type)
+    b, c, t = x_tm.shape
+    # VMEM budget: the unrolled conv chain keeps ~10 live (C, width)
+    # buffers (bf16 + f32 accumulators); keep C * t_tile ~ 128K elems.
+    t_tile = min(t_tile, max(512, (131072 // max(c, 32)) // 128 * 128))
+    t_tile = min(t_tile, t)
+    n_tiles = pl.cdiv(t, t_tile)
+    t_padded = n_tiles * t_tile
+    if t_padded != t:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, t_padded - t)))
+
+    # Halo'd input view: pad so every tile can read [t0-halo, t0+tile+halo)
+    x_padded = jnp.pad(x_tm, ((0, 0), (0, 0), (halo, halo)))
+    width = t_tile + 2 * halo
+
+    kernel = functools.partial(
+        _mrf_kernel,
+        blocks=blocks,
+        halo=halo,
+        t_tile=t_tile,
+        c=c,
+        acc_dtype=jnp.float32,
+    )
+
+    # Pallas indexes blocks in units of the block shape; overlapping
+    # halo windows need stride t_tile != width. We restride x into an
+    # explicit (B, n_tiles, C, width) overlapping-window tensor (one
+    # XLA gather, ~1.05x extra bytes) and use unit block indexing.
+    windows = _overlapping_windows(x_padded, t_tile, width, n_tiles)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, c, width),
+                    lambda bi, ti, lens: (bi, ti, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, c, t_tile), lambda bi, ti, lens: (bi, 0, ti),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, t_padded), x_tm.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), windows, packed_w, packed_b)
+    return out[:, :, :t]
+
+
+def _overlapping_windows(x_padded, t_tile, width, n_tiles):
+    """(B, C, T+2h) -> (B, n_tiles, C, width) overlapping tile windows."""
+    b, c, _ = x_padded.shape
+    starts = jnp.arange(n_tiles) * t_tile
+    idx = starts[:, None] + jnp.arange(width)[None, :]  # (n_tiles, width)
+    return jnp.transpose(x_padded[:, :, idx], (0, 2, 1, 3))

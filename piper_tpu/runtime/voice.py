@@ -301,12 +301,25 @@ class TpuVoice:
             frames_dev = jnp.sum(enc.durations, axis=-1)
             encode_groups.append((indices, enc, frames_dev, keys, sid))
 
-        # Phase B: sync frame counts (small int32 transfers), dispatch
-        # every decode, and start async device->host audio copies so
-        # transfers overlap with later groups' compute.
+        # Phase B: sync frame counts — one concatenated transfer for all
+        # encode groups (each host sync pays full link latency).
+        if len(encode_groups) > 1:
+            all_frames = np.asarray(
+                jnp.concatenate([g[2] for g in encode_groups])
+            )
+            frame_splits = np.split(
+                all_frames,
+                np.cumsum([len(g[0]) for g in encode_groups])[:-1],
+            )
+        else:
+            frame_splits = [np.asarray(encode_groups[0][2])] if encode_groups else []
+
+        # Dispatch every decode and start async device->host audio
+        # copies so transfers overlap with later groups' compute.
         decode_groups = []
-        for indices, enc, frames_dev, keys, sid in encode_groups:
-            frames = np.asarray(frames_dev)
+        for (indices, enc, frames_dev, keys, sid), frames in zip(
+            encode_groups, frame_splits
+        ):
             for fbucket, rows in batching.group_by_bucket(
                 frames.tolist(), self.frame_buckets
             ):
