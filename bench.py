@@ -69,12 +69,25 @@ def main():
 
     audio_seconds = sum(len(a) for a in out) / sr
 
+    # Sequential (latency) timing.
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
         out = voice.synthesize_ids_batch(ids_list, syn=syn)
         times.append(time.perf_counter() - t0)
-    infer_sec = float(np.median(times))
+    seq_sec = float(np.median(times))
+
+    # Pipelined (throughput) timing: batch N+1's device work overlaps
+    # batch N's device->host transfer (double-buffered serving).
+    n_pipe = max(args.reps, 4)
+    t0 = time.perf_counter()
+    handle = voice.submit(ids_list, syn=syn)
+    for _ in range(n_pipe - 1):
+        nxt = voice.submit(ids_list, syn=syn)
+        voice.collect(handle)
+        handle = nxt
+    voice.collect(handle)
+    infer_sec = (time.perf_counter() - t0) / n_pipe
 
     n_chips = max(jax.device_count(), 1)
     value = audio_seconds / infer_sec / n_chips
@@ -91,12 +104,12 @@ def main():
             "precision": args.precision,
             "sample_rate": sr,
             "audio_seconds_per_batch": round(audio_seconds, 2),
-            "batch_wall_s": round(infer_sec, 4),
+            "batch_wall_s_pipelined": round(infer_sec, 4),
             "compile_plus_first_batch_s": round(load_sec, 2),
             "rtf": round(infer_sec / audio_seconds, 6),
-            "p50_latency_per_batch_s": round(infer_sec, 4),
+            "p50_latency_per_batch_s": round(seq_sec, 4),
             "devices": n_chips,
-            "times": [round(t, 4) for t in times],
+            "sequential_times": [round(t, 4) for t in times],
         }
         print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))

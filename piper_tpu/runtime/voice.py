@@ -245,6 +245,20 @@ class TpuVoice:
         The device pipeline (per phoneme bucket): encode once, regroup
         by frame bucket, decode batched; see module docstring.
         """
+        return self.collect(self.submit(ids_list, syn=syn), stats=stats)
+
+    def submit(
+        self,
+        ids_list: Sequence[Sequence[int]],
+        *,
+        syn: Optional[SynthesisConfig] = None,
+    ) -> dict:
+        """Dispatch a batch; returns a handle for collect().
+
+        Device work and device->host copies run asynchronously, so a
+        caller can pipeline: submit(batch N+1) before collect(batch N)
+        overlaps N+1's compute with N's host transfer.
+        """
         syn = syn or SynthesisConfig()
         inf = self.config.inference
         noise_scale = jnp.float32(
@@ -336,8 +350,20 @@ class TpuVoice:
                     pass
                 decode_groups.append((indices, rows, frames, audio))
 
-        # Phase C: collect and slice.
-        for indices, rows, frames, audio in decode_groups:
+        return {
+            "decode_groups": decode_groups,
+            "results": results,
+            "t0": t0,
+            "u": u,
+        }
+
+    def collect(
+        self, handle: dict, *, stats: Optional[SynthesisStats] = None
+    ) -> List[np.ndarray]:
+        """Wait for a submit()ted batch and return float32 waveforms."""
+        results = handle["results"]
+        u = handle["u"]
+        for indices, rows, frames, audio in handle["decode_groups"]:
             audio_np = np.asarray(audio)
             if audio_np.dtype == np.int16:
                 audio_np = audio_np.astype(np.float32) / 32767.0
@@ -347,7 +373,7 @@ class TpuVoice:
                 n = int(frames[row]) * u
                 results[indices[row]] = audio_np[row_i, :n]
 
-        dt = time.perf_counter() - t0
+        dt = time.perf_counter() - handle["t0"]
         if stats is not None:
             stats.infer_seconds += dt
             stats.audio_seconds += sum(
