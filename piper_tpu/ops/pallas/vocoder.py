@@ -72,6 +72,8 @@ def _mrf_kernel(
     b_ref,  # (n_convs, C)
     # outputs
     out_ref,  # (1, C, T_tile)
+    # scratch
+    tap_ref,  # (k_max*C, W) tap-stacking buffer
     *,
     blocks: List[List[Tuple[int, int]]],
     halo: int,
@@ -99,13 +101,14 @@ def _mrf_kernel(
         return jnp.maximum(v, 0) + slope * jnp.minimum(v, 0)
 
     def conv_step(h, conv_idx, k, d):
-        """Same-padded dilated conv over the tile (edges read zeros)."""
+        """Same-padded dilated conv over the tile (edges read zeros).
+
+        Tap-packed: the k lane-shifted copies of h are stacked on the
+        sublane axis into (k*C, W) and contracted in ONE MXU matmul
+        with the (k*C, C_out) packed weight — K = k*C (96..224) loads
+        the systolic array far better than per-tap K = C matmuls.
+        """
         pad = (k * d - d) // 2
-        # bias stored (n_convs, C, 1) f32: broadcasting along lanes
-        # avoids a bf16 minor-dim insertion Mosaic rejects
-        acc = jnp.broadcast_to(
-            b_ref[conv_idx].astype(acc_dtype), (c, width)
-        )
         for kk in range(k):
             shift = kk * d - pad
             # h shifted by `shift` along lanes with zero fill
@@ -115,12 +118,19 @@ def _mrf_kernel(
                 seg = jnp.pad(h, ((0, 0), (0, shift)))[:, shift:]
             else:
                 seg = jnp.pad(h, ((0, 0), (-shift, 0)))[:, :width]
-            w_kk = w_ref[conv_idx, kk].astype(h.dtype)  # (C_in, C_out)
-            acc = acc + jax.lax.dot_general(
-                w_kk, seg,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-            )
+            # store through scratch: resolves Mosaic lane offsets that a
+            # direct concat of shifted views cannot express
+            tap_ref[kk * c : (kk + 1) * c, :] = seg
+        stacked = tap_ref[: k * c, :]
+        w_all = w_ref[conv_idx, :k].reshape(k * c, c).astype(h.dtype)
+        acc = jax.lax.dot_general(
+            w_all, stacked,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        # bias stored (n_convs, C, 1) f32: broadcasting along lanes
+        # avoids a bf16 minor-dim insertion Mosaic rejects
+        acc = acc + b_ref[conv_idx].astype(acc_dtype)
         return acc.astype(h.dtype)
 
     conv_idx = 0
@@ -268,6 +278,9 @@ def mrf_fused(
                 (1, c, t_tile), lambda bi, ti, lens: (bi, 0, ti),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((packed_w.shape[1] * c, width), x_tm.dtype)
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, t_padded), x_tm.dtype),
         interpret=interpret,
