@@ -54,9 +54,13 @@ def main():
     # Finer frame buckets cut padded-tail device->host bytes (the
     # bottleneck on tunneled chips) at the cost of more one-time
     # compilations (persistently cached).
+    # One phoneme bucket (encoder padding is cheap; one encode dispatch
+    # and one duration sync per batch); fine frame buckets minimize
+    # padded device->host audio bytes — the bottleneck on tunneled
+    # chips is the host link, and compute hides behind it.
     voice = TpuVoice.random(
         args.quality, num_symbols=256, seed=0, precision=args.precision,
-        phoneme_buckets=[128, 256, 512],
+        phoneme_buckets=[512],
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
     )
     sr = voice.config.sample_rate
