@@ -69,7 +69,11 @@ class TpuVoice:
         frame_buckets: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
         phonemizer: Optional[object] = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis —
+        batches are sharded across it (rows padded up to a multiple of
+        the axis size), params replicated; multi-chip serving."""
         self.config = config
         self.model_cfg = model_cfg
         self.precision = precision
@@ -136,8 +140,26 @@ class TpuVoice:
                     audio = audio.astype(jnp.float32)
                 return audio, y_lengths
 
-        self._encode = jax.jit(encode_fn)
-        self._decode = jax.jit(decode_fn, static_argnums=(2,))
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._data_size = int(mesh.shape["data"])
+            self._data_sharding = data
+            self._encode = jax.jit(
+                encode_fn,
+                in_shardings=(rep, data, data, None, None, data, data),
+            )
+            self._decode = jax.jit(
+                decode_fn, static_argnums=(2,),
+                in_shardings=(rep, data, None, data, data),
+            )
+        else:
+            self._data_size = 1
+            self._encode = jax.jit(encode_fn)
+            self._decode = jax.jit(decode_fn, static_argnums=(2,))
 
     # ------------------------------------------------------------------
     # Loading
@@ -292,22 +314,28 @@ class TpuVoice:
             utt_keys = list(jax.random.split(self._next_key(), max(len(ids_list), 1)))
 
         # Phase A: dispatch every encode (async — no host sync yet).
+        # With a mesh, row counts are padded to a multiple of the data
+        # axis (padding rows repeat row 0 and are discarded).
+        ds = self._data_size
         encode_groups = []
         for bucket, indices in batching.group_by_bucket(
             lengths, self.phoneme_buckets
         ):
             b = len(indices)
-            ids_arr = np.zeros((b, bucket), np.int32)
-            len_arr = np.zeros((b,), np.int32)
+            b_pad = -(-b // ds) * ds
+            ids_arr = np.zeros((b_pad, bucket), np.int32)
+            len_arr = np.ones((b_pad,), np.int32)
             for row, idx in enumerate(indices):
                 seq = np.asarray(ids_list[idx], np.int32)
                 ids_arr[row, : len(seq)] = seq
                 len_arr[row] = len(seq)
-            keys = jnp.stack([utt_keys[idx] for idx in indices])
+            key_rows = [utt_keys[idx] for idx in indices]
+            key_rows += [key_rows[0]] * (b_pad - b)
+            keys = jnp.stack(key_rows)
             sid = None
             if self._multispeaker:
                 spk = syn.speaker_id if syn.speaker_id is not None else 0
-                sid = jnp.full((b,), spk, jnp.int32)
+                sid = jnp.full((b_pad,), spk, jnp.int32)
             enc = self._encode(
                 self.params, jnp.asarray(ids_arr), jnp.asarray(len_arr),
                 noise_w, length_scale, keys, sid,
@@ -323,7 +351,7 @@ class TpuVoice:
             )
             frame_splits = np.split(
                 all_frames,
-                np.cumsum([len(g[0]) for g in encode_groups])[:-1],
+                np.cumsum([int(g[2].shape[0]) for g in encode_groups])[:-1],
             )
         else:
             frame_splits = [np.asarray(encode_groups[0][2])] if encode_groups else []
@@ -334,15 +362,24 @@ class TpuVoice:
         for (indices, enc, frames_dev, keys, sid), frames in zip(
             encode_groups, frame_splits
         ):
+            real_frames = frames[: len(indices)]
             for fbucket, rows in batching.group_by_bucket(
-                frames.tolist(), self.frame_buckets
+                real_frames.tolist(), self.frame_buckets
             ):
-                rows_idx = jnp.asarray(rows)
+                pad_n = -(-len(rows) // ds) * ds - len(rows)
+                rows_idx = jnp.asarray(rows + rows[:1] * pad_n)
                 sub_enc = jax.tree.map(lambda a: a[rows_idx], enc)
                 sub_sid = sid[rows_idx] if sid is not None else None
+                sub_keys = keys[rows_idx]
+                if self.mesh is not None:
+                    # gather outputs are replicated; reshard onto 'data'
+                    sub_enc = jax.device_put(sub_enc, self._data_sharding)
+                    sub_keys = jax.device_put(sub_keys, self._data_sharding)
+                    if sub_sid is not None:
+                        sub_sid = jax.device_put(sub_sid, self._data_sharding)
                 audio, _y_lengths = self._decode(
                     self.params, sub_enc, int(fbucket), noise_scale,
-                    keys[rows_idx], sub_sid,
+                    sub_keys, sub_sid,
                 )
                 try:
                     audio.copy_to_host_async()

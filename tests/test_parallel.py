@@ -98,3 +98,37 @@ def test_sharded_vocode_multispeaker():
             params, z_p, y_mask, cfg=cfg, mesh=mesh, sid=sid, halo_frames=24
         )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_mesh_voice_serving_matches_single():
+    """TpuVoice with a data-parallel mesh produces identical audio to
+    the unsharded voice (content-keyed noise + padded-row discard)."""
+    import json
+
+    from piper_tpu.config import SynthesisConfig, VoiceConfig
+    from piper_tpu.runtime.voice import TpuVoice
+
+    config = VoiceConfig.from_file("/root/reference/etc/test_voice.onnx.json")
+    model_cfg = config.model_config()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    mesh = make_mesh(data=8, model=1)
+
+    kw = dict(
+        phoneme_buckets=[512], frame_buckets=[512, 1024, 2048], seed=0
+    )
+    voice_single = TpuVoice(params, model_cfg, config, **kw)
+    voice_mesh = TpuVoice(params, model_cfg, config, mesh=mesh, **kw)
+
+    recs = [
+        json.loads(l)
+        for l in open("/root/reference/etc/test_sentences/test_en-us.jsonl")
+    ][:5]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=9)
+    ref = voice_single.synthesize_ids_batch(ids_list, syn=syn)
+    with mesh:
+        out = voice_mesh.synthesize_ids_batch(ids_list, syn=syn)
+    assert len(out) == 5
+    for a, b in zip(out, ref):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, atol=2e-4)
