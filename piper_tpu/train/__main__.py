@@ -86,6 +86,10 @@ def main(argv=None) -> None:
                    help="Checkpoint directory (default: dataset-dir/ckpt)")
     p.add_argument("--quality", default="medium",
                    choices=("x-low", "low", "medium", "high"))
+    p.add_argument("--config-overrides",
+                   help="JSON dict of ModelConfig field overrides "
+                        '(e.g. \'{"hidden_channels": 64}\'); "audio" '
+                        "sub-dict overrides AudioConfig fields")
     p.add_argument("--batch-size", type=int, required=True)
     p.add_argument("--max-steps", type=int, default=2_000_000)
     p.add_argument("--max-epochs", type=int, default=10_000)
@@ -106,6 +110,8 @@ def main(argv=None) -> None:
     p.add_argument("--precision", choices=("fast", "parity"), default="fast")
     p.add_argument("--export-every", type=int, default=0,
                    help="Export a .npz voice every N steps (0 = only at end)")
+    p.add_argument("--validate-steps", type=int, default=2000,
+                   help="Validation cadence (0 disables)")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
@@ -124,6 +130,22 @@ def main(argv=None) -> None:
         cfg,
         audio=dataclasses.replace(cfg.audio, sample_rate=vcfg.sample_rate),
     )
+    if args.config_overrides:
+        overrides = json.loads(args.config_overrides)
+        audio_over = overrides.pop("audio", None)
+        for k in ("resblock_kernel_sizes", "upsample_rates",
+                  "upsample_kernel_sizes"):
+            if k in overrides:
+                overrides[k] = tuple(overrides[k])
+        if "resblock_dilation_sizes" in overrides:
+            overrides["resblock_dilation_sizes"] = tuple(
+                tuple(d) for d in overrides["resblock_dilation_sizes"]
+            )
+        cfg = dataclasses.replace(cfg, **overrides)
+        if audio_over:
+            cfg = dataclasses.replace(
+                cfg, audio=dataclasses.replace(cfg.audio, **audio_over)
+            )
     _LOGGER.info("Model: %s", cfg)
 
     utterances = load_dataset(
@@ -170,7 +192,17 @@ def main(argv=None) -> None:
         )
         _LOGGER.info("Initialized generator from single-speaker checkpoint")
 
-    mesh = make_mesh(data=args.data_parallel, model=1)
+    data_parallel = args.data_parallel
+    if data_parallel is None:
+        # largest data-axis size that divides the batch
+        import math
+
+        data_parallel = math.gcd(args.batch_size, jax.device_count()) or 1
+    mesh = make_mesh(
+        data=data_parallel,
+        model=1,
+        devices=jax.devices()[:data_parallel],
+    )
     step_fn = make_sharded_train_step(
         cfg, tx, mesh,
         dtype=jnp.bfloat16 if args.precision == "fast" else jnp.float32,
@@ -210,6 +242,10 @@ def main(argv=None) -> None:
                     save_checkpoint(ckpt_dir, jax.device_get(state), step)
                 if args.export_every and step % args.export_every == 0:
                     _export(ckpt_dir, state, cfg, step)
+                if args.validate_steps and step % args.validate_steps == 0:
+                    _validate(
+                        ckpt_dir, state, cfg, step, val_utts, metrics_file
+                    )
                 if step >= args.max_steps:
                     break
             if step >= args.max_steps:
@@ -226,6 +262,70 @@ def _export(ckpt_dir: Path, state, cfg: ModelConfig, step: int) -> None:
     path = ckpt_dir / f"voice_{step}.npz"
     save_native(str(path), jax.device_get(state.params_g), cfg)
     _LOGGER.info("Exported %s", path)
+
+
+def _validate(
+    ckpt_dir: Path, state, cfg: ModelConfig, step: int, val_utts,
+    metrics_file,
+) -> None:
+    """Validation: mel L1 on held-out utterances + test audio WAVs
+    (counterpart of reference lightning.py:282-306, which logs
+    val_loss and TensorBoard audio samples)."""
+    import jax.numpy as jnp
+
+    from ..models.vits.model import infer
+    from ..ops.stft import mel_spectrogram
+    from ..runtime.wav import audio_float_to_int16, write_wav
+
+    if not val_utts:
+        return
+    a = cfg.audio
+    sample_dir = ckpt_dir / "samples" / str(step)
+    sample_dir.mkdir(parents=True, exist_ok=True)
+    mel_l1 = []
+    for i, utt in enumerate(val_utts[:5]):
+        ids = jnp.asarray(
+            np.asarray(utt.phoneme_ids, np.int32)[None, :]
+        )
+        lengths = jnp.asarray([len(utt.phoneme_ids)], jnp.int32)
+        ref_audio = np.load(utt.audio_norm_path).astype(np.float32)
+        max_frames = max(len(ref_audio) // a.hop_length * 2, 128)
+        sid = (
+            jnp.asarray([utt.speaker_id], jnp.int32)
+            if utt.speaker_id is not None and cfg.num_speakers > 1
+            else None
+        )
+        audio, y_lengths = infer(
+            state.params_g, ids, lengths, cfg=cfg, max_frames=max_frames,
+            noise_scale=jnp.float32(0.667), length_scale=jnp.float32(1.0),
+            noise_w_scale=jnp.float32(0.8), sid=sid,
+            rng=jax.random.PRNGKey(step + i),
+        )
+        n = int(y_lengths[0]) * cfg.upsample_factor
+        gen = np.asarray(audio[0, :n], np.float32)
+        write_wav(
+            sample_dir / f"val_{i}.wav", audio_float_to_int16(gen),
+            a.sample_rate,
+        )
+        # mel distance over the shared prefix
+        m = min(len(gen), len(ref_audio))
+        if m > a.filter_length:
+            mel_g = mel_spectrogram(
+                jnp.asarray(gen[None, :m]), sample_rate=a.sample_rate,
+                n_fft=a.filter_length, hop_length=a.hop_length,
+                win_length=a.win_length, n_mels=a.mel_channels,
+            )
+            mel_r = mel_spectrogram(
+                jnp.asarray(ref_audio[None, :m]), sample_rate=a.sample_rate,
+                n_fft=a.filter_length, hop_length=a.hop_length,
+                win_length=a.win_length, n_mels=a.mel_channels,
+            )
+            mel_l1.append(float(jnp.mean(jnp.abs(mel_g - mel_r))))
+    if mel_l1:
+        rec = {"step": step, "val_mel_l1": round(float(np.mean(mel_l1)), 4)}
+        metrics_file.write(json.dumps(rec) + "\n")
+        metrics_file.flush()
+        _LOGGER.info("validation step %s mel L1 %.4f", step, rec["val_mel_l1"])
 
 
 if __name__ == "__main__":

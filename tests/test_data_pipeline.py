@@ -183,3 +183,47 @@ def test_merge_params_surgery():
     )
     # WN cond layers exist only in multi: fresh init preserved
     assert "cond_layer" in merged["flow"]["layers"][0]["enc"]
+
+
+def test_training_cli_end_to_end(preprocessed, tmp_path):
+    """Full training CLI: a few steps on the synthetic corpus, with
+    checkpointing, resume, validation samples, and voice export."""
+    import sys
+
+    from piper_tpu.train.__main__ import main as train_main
+
+    ckpt_dir = tmp_path / "ckpt"
+    overrides = json.dumps({
+        "inter_channels": 32, "hidden_channels": 32, "filter_channels": 64,
+        "n_heads": 2, "n_layers": 1,
+        "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 2]],
+        "upsample_rates": [16, 16], "upsample_kernel_sizes": [32, 32],
+        "segment_size": 4096,
+        "audio": {"filter_length": 1024, "hop_length": 256,
+                  "win_length": 1024, "mel_channels": 20},
+    })
+    common = [
+        "--dataset-dir", str(preprocessed),
+        "--checkpoint-dir", str(ckpt_dir),
+        "--batch-size", "2",
+        "--config-overrides", overrides,
+        "--checkpoint-steps", "2",
+        "--log-steps", "1",
+        "--validate-steps", "2",
+        "--num-test-examples", "1",
+        "--validation-split", "0.34",
+    ]
+    train_main(common + ["--max-steps", "2"])
+    assert (ckpt_dir / "metrics.jsonl").exists()
+    metrics = [json.loads(l) for l in (ckpt_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any("loss_gen_all" in m for m in metrics)
+    assert any("val_mel_l1" in m for m in metrics)
+    exports = list(ckpt_dir.glob("voice_*.npz"))
+    assert exports
+    samples = list((ckpt_dir / "samples").rglob("*.wav"))
+    assert samples
+
+    # resume continues from step 2
+    train_main(common + ["--max-steps", "3", "--resume"])
+    metrics = [json.loads(l) for l in (ckpt_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any(m.get("step") == 3 for m in metrics)
