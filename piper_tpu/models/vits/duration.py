@@ -12,7 +12,7 @@ rational-quadratic spline's division chains are precision-critical
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

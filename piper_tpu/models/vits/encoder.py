@@ -14,13 +14,12 @@ slicing is resolved at trace time.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ...config import ModelConfig
-from ...ops import nn as tnn
 from . import layers as L
 
 Params = Dict[str, Any]

@@ -14,9 +14,6 @@ chooses x-1 when Q[y-1, x-1] >= Q[y-1, x].
 
 from __future__ import annotations
 
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -28,7 +28,6 @@ matrix so the kernel signature is static across stages.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax

@@ -9,8 +9,7 @@ the TPU-native replacement for the reference's Lightning/NCCL DDP
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

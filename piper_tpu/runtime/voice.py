@@ -27,9 +27,8 @@ import logging
 import threading
 import time
 import zlib
-from functools import partial
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +42,26 @@ from . import batching
 from .wav import audio_float_to_int16
 
 _LOGGER = logging.getLogger(__name__)
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: bucketed serving compiles a
+    fixed set of shapes; caching them makes CLI/server cold starts
+    cheap. Respects an explicit user setting."""
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            import os
+
+            cache = os.environ.get(
+                "PIPER_TPU_CACHE",
+                os.path.join(
+                    os.path.expanduser("~"), ".cache", "piper_tpu", "jax"
+                ),
+            )
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        _LOGGER.debug("could not enable compilation cache", exc_info=True)
 
 
 @dataclasses.dataclass
@@ -74,6 +93,7 @@ class TpuVoice:
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis —
         batches are sharded across it (rows padded up to a multiple of
         the axis size), params replicated; multi-chip serving."""
+        _enable_compilation_cache()
         self.config = config
         self.model_cfg = model_cfg
         self.precision = precision

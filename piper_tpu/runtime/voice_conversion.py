@@ -11,7 +11,7 @@ inference-only ONNX exports) and a multi-speaker model.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ Extra endpoints beyond the reference:
 
 from __future__ import annotations
 
-import argparse
 import base64
 import json
 import logging

@@ -26,7 +26,7 @@ import os
 from collections import Counter
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Dict, Iterable, List, Optional
 
 from ..config import AudioConfig, PhonemeType
 from ..text.phonemes import BOS, EOS, PAD, phonemes_to_ids
