@@ -63,17 +63,41 @@ def build_parser() -> argparse.ArgumentParser:
 def load_voice(args) -> TpuVoice:
     model_path = Path(args.model)
     if not model_path.exists():
-        from .runtime.download import ensure_voice_exists, find_voice, get_voices
+        from urllib.error import URLError
+
+        from .runtime.download import (
+            VoiceNotFoundError,
+            ensure_voice_exists,
+            find_voice,
+            get_voices,
+        )
 
         download_dir = args.download_dir or args.data_dir[0]
-        voices_info = get_voices(download_dir, update_voices=args.update_voices)
-        aliases: Dict[str, Any] = {}
-        for vi in voices_info.values():
-            for alias in vi.get("aliases", []):
-                aliases[alias] = {"_is_alias": True, **vi}
-        voices_info.update(aliases)
-        ensure_voice_exists(args.model, args.data_dir, download_dir, voices_info)
-        args.model, args.config = find_voice(args.model, args.data_dir)
+        try:
+            voices_info = get_voices(
+                download_dir, update_voices=args.update_voices
+            )
+            aliases: Dict[str, Any] = {}
+            for vi in voices_info.values():
+                for alias in vi.get("aliases", []):
+                    aliases[alias] = {"_is_alias": True, **vi}
+            voices_info.update(aliases)
+            ensure_voice_exists(
+                args.model, args.data_dir, download_dir, voices_info
+            )
+            args.model, args.config = find_voice(args.model, args.data_dir)
+        except VoiceNotFoundError:
+            raise SystemExit(
+                f"Voice '{args.model}' is not a local file and is not in "
+                "the voices.json registry. Check the name or pass a path "
+                "to a .npz/.ckpt/.onnx voice."
+            )
+        except (URLError, OSError) as e:
+            raise SystemExit(
+                f"Voice '{args.model}' is not a local file and the voice "
+                f"registry could not be reached ({e}). Pass a path to a "
+                "local voice, or place voices.json in the download dir."
+            )
     return TpuVoice.load(args.model, args.config, precision=args.precision)
 
 
@@ -140,7 +164,8 @@ def main(argv=None) -> None:
             voice.synthesize_wav(text, wav_file, syn=base_syn, stats=stats)
 
     _LOGGER.info(
-        "RTF %.4f (infer %.2fs / audio %.2fs)",
+        "RTF %.4f (infer %.2fs / audio %.2fs; includes one-time "
+        "compilation on first use of each shape)",
         stats.real_time_factor, stats.infer_seconds, stats.audio_seconds,
     )
 
