@@ -175,3 +175,14 @@ def test_fused_infer_matches_two_stage():
         n = int(y_lengths[i]) * cfg.upsample_factor
         assert np.all(np.asarray(audio)[i, n:] == 0.0)
         assert np.abs(np.asarray(audio)[i, :n]).max() > 1e-4
+
+
+def test_infer_parity_deterministic_dp():
+    """use_sdp=False voices (plain DurationPredictor, models.py:120-165)."""
+    cfg = ModelConfig(num_symbols=130, use_sdp=False)
+    run_parity(cfg, seed=14)
+
+
+def test_infer_parity_high_quality():
+    cfg = ModelConfig.for_quality("high", num_symbols=130)
+    run_parity(cfg, seed=15, t=18)
