@@ -13,6 +13,9 @@ using the /batch endpoint.
 
 Extra endpoints beyond the reference:
   POST /batch  — JSON {"texts": [...]} -> JSON list of base64 WAVs
+  GET  /stream — chunked raw int16 PCM as it is decoded (45-frame
+                 vocoder chunks; first audio before the full utterance
+                 is synthesized)
   GET  /health — liveness + voice metadata
 """
 
@@ -22,6 +25,8 @@ import base64
 import json
 import logging
 import urllib.parse
+
+import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -34,6 +39,8 @@ _LOGGER = logging.getLogger("piper_tpu.http_server")
 
 def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked /stream needs 1.1
+
         def log_message(self, fmt, *args):
             _LOGGER.debug(fmt, *args)
 
@@ -70,6 +77,42 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
 
         def do_GET(self):
             parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/stream":
+                query = urllib.parse.parse_qs(parsed.query)
+                text = query.get("text", [""])[0]
+                if not text.strip():
+                    self.send_error(400, "no text provided")
+                    return
+                syn = self._syn_from_query(query)
+                from ..runtime.streaming import synthesize_stream_chunks
+
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/L16")
+                self.send_header(
+                    "X-Sample-Rate", str(voice.config.sample_rate)
+                )
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    for sentence in voice.phonemize(text.strip()):
+                        ids = voice.phonemes_to_ids(sentence)
+                        for chunk in synthesize_stream_chunks(
+                            voice, ids, syn=syn
+                        ):
+                            # fixed scaling (no per-chunk peak normalize:
+                            # the global peak is unknown mid-stream)
+                            pcm = (
+                                np.clip(chunk, -1.0, 1.0) * 32767.0
+                            ).astype(np.int16).tobytes()
+                            self.wfile.write(
+                                f"{len(pcm):X}\r\n".encode()
+                            )
+                            self.wfile.write(pcm)
+                            self.wfile.write(b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                except BrokenPipeError:
+                    pass
+                return
             if parsed.path == "/health":
                 body = json.dumps(
                     {

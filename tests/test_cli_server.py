@@ -155,3 +155,39 @@ def test_http_server(voice_files):
             assert len(wavs) == 2
     finally:
         server.shutdown()
+
+
+def test_http_stream_endpoint(voice_files):
+    import http.client
+
+    from piper_tpu.server.http_server import serve
+
+    model_path, config_path = voice_files
+    voice = TpuVoice.load(model_path, config_path, precision="parity", seed=0)
+    server = serve(voice, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request(
+            "GET",
+            "/stream?text=Streaming%20endpoint%20delivers%20audio%20in%20chunks%20for%20low%20latency%20playback.&seed=4",
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/L16"
+        assert resp.headers["X-Sample-Rate"] == "16000"
+        data = resp.read()  # http.client reassembles chunked body
+        assert len(data) > 2000 and len(data) % 2 == 0
+        pcm = np.frombuffer(data, np.int16)
+        assert np.abs(pcm).max() > 0
+        conn.close()
+
+        # probe: missing text
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/stream")
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        server.shutdown()
