@@ -85,6 +85,13 @@ class ModelConfig:
     flow_n_layers: int = 4
     flow_n_flows: int = 4
 
+    # Vocoder head: "hifigan" (reference parity) or "mb_istft"
+    # (multi-band iSTFT variant, see models/vits/istft_generator.py)
+    vocoder: str = "hifigan"
+    subbands: int = 4
+    istft_n_fft: int = 16
+    istft_hop: int = 4
+
     audio: AudioConfig = field(default_factory=AudioConfig)
 
     @property
@@ -92,7 +99,23 @@ class ModelConfig:
         f = 1
         for u in self.upsample_rates:
             f *= u
+        if self.vocoder == "mb_istft":
+            f *= self.istft_hop * self.subbands
         return f
+
+    @staticmethod
+    def mb_istft(
+        quality: str = "medium", num_symbols: int = 256, **kw
+    ) -> "ModelConfig":
+        """MB-iSTFT vocoder preset: shortened conv stack (4x4) +
+        iSTFT hop 4 x 4 subbands = 256x total upsampling."""
+        base = ModelConfig.for_quality(quality, num_symbols=num_symbols, **kw)
+        return dataclasses.replace(
+            base,
+            vocoder="mb_istft",
+            upsample_rates=(4, 4),
+            upsample_kernel_sizes=(8, 8),
+        )
 
     @staticmethod
     def for_quality(

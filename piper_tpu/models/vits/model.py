@@ -38,11 +38,17 @@ Params = Dict[str, Any]
 def init_synthesizer_params(rng, cfg: ModelConfig, *, training: bool = False) -> Params:
     """Random-init parameter pytree (torch-equivalent distributions)."""
     r_enc, r_dp, r_flow, r_dec, r_emb, r_q = jax.random.split(rng, 6)
+    if cfg.vocoder == "mb_istft":
+        from .istft_generator import init_mb_istft_generator
+
+        dec = init_mb_istft_generator(r_dec, cfg)
+    else:
+        dec = G.init_generator(r_dec, cfg)
     p: Params = {
         "enc_p": E.init_text_encoder(r_enc, cfg),
         "dp": D.init_sdp(r_dp, cfg) if cfg.use_sdp else D.init_dp(r_dp, cfg),
         "flow": F.init_flow(r_flow, cfg),
-        "dec": G.init_generator(r_dec, cfg),
+        "dec": dec,
     }
     if cfg.num_speakers > 1:
         p["emb_g"] = {
@@ -59,6 +65,22 @@ def speaker_embedding(
     if cfg.num_speakers <= 1 or sid is None:
         return None
     return params["emb_g"]["weight"][sid]  # (B, gin)
+
+
+def apply_decoder(
+    params: Params,
+    z: jnp.ndarray,
+    y_mask: Optional[jnp.ndarray],
+    *,
+    cfg: ModelConfig,
+    g: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Vocoder dispatch: HiFiGAN (reference parity) or MB-iSTFT."""
+    if cfg.vocoder == "mb_istft":
+        from .istft_generator import mb_istft_generator_apply
+
+        return mb_istft_generator_apply(params["dec"], z, y_mask, cfg=cfg, g=g)
+    return G.generator_apply(params["dec"], z, y_mask, cfg=cfg, g=g)
 
 
 class EncodeResult(NamedTuple):
@@ -158,7 +180,7 @@ def synthesizer_vocode(
     """
     g = speaker_embedding(params, cfg, sid)
     z = F.flow_apply(params["flow"], z_p, y_mask, cfg=cfg, g=g, reverse=True)
-    return G.generator_apply(params["dec"], z * y_mask, y_mask, cfg=cfg, g=g)
+    return apply_decoder(params, z * y_mask, y_mask, cfg=cfg, g=g)
 
 
 def synthesizer_decode(

@@ -78,9 +78,9 @@ def sharded_vocode(
         )
         z = F.flow_apply(params["flow"], z_ext, mask_ext, cfg=cfg, g=g_local,
                          reverse=True)
-        audio = G.generator_apply(
-            params["dec"], z * mask_ext, mask_ext, cfg=cfg, g=g_local
-        )
+        from ..models.vits.model import apply_decoder
+
+        audio = apply_decoder(params, z * mask_ext, mask_ext, cfg=cfg, g=g_local)
         return audio[:, halo * u : halo * u + z_local.shape[1] * u]
 
     g_spec = P() if g is not None else None

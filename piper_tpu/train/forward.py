@@ -26,7 +26,7 @@ from ..models.vits import encoder as E
 from ..models.vits import flow as F
 from ..models.vits import generator as G
 from ..models.vits import posterior as Q
-from ..models.vits.model import speaker_embedding
+from ..models.vits.model import apply_decoder, speaker_embedding
 from ..ops import nn as tnn
 from ..ops.mas import maximum_path
 
@@ -130,7 +130,7 @@ def train_forward(
     # ---- random segment + vocoder ----
     ids_slice = rand_slice_ids(r_slice, spec_lengths, seg_frames)
     z_slice = slice_segments(z, ids_slice, seg_frames)
-    y_hat = G.generator_apply(params["dec"], z_slice, None, cfg=cfg, g=g)
+    y_hat = apply_decoder(params, z_slice, None, cfg=cfg, g=g)
 
     return TrainForwardOut(
         y_hat=y_hat,
