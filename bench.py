@@ -27,6 +27,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quality", default="medium")
+    ap.add_argument("--vocoder", default="hifigan",
+                    choices=["hifigan", "mb_istft"])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--precision", default="fast", choices=["fast", "parity"])
@@ -60,6 +62,7 @@ def main():
     # chips is the host link, and compute hides behind it.
     voice = TpuVoice.random(
         args.quality, num_symbols=256, seed=0, precision=args.precision,
+        vocoder=args.vocoder,
         phoneme_buckets=[512],
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
     )
@@ -104,6 +107,7 @@ def main():
     if not args.json_only:
         detail = {
             "quality": args.quality,
+            "vocoder": args.vocoder,
             "batch": args.batch,
             "precision": args.precision,
             "sample_rate": sr,

@@ -232,12 +232,18 @@ class TpuVoice:
         num_symbols: int = 256,
         num_speakers: int = 1,
         seed: int = 0,
+        vocoder: str = "hifigan",
         **kw,
     ) -> "TpuVoice":
         """Random-weight voice (benchmarks, smoke tests)."""
-        model_cfg = ModelConfig.for_quality(
-            quality, num_symbols=num_symbols, num_speakers=num_speakers
-        )
+        if vocoder == "mb_istft":
+            model_cfg = ModelConfig.mb_istft(
+                quality, num_symbols=num_symbols, num_speakers=num_speakers
+            )
+        else:
+            model_cfg = ModelConfig.for_quality(
+                quality, num_symbols=num_symbols, num_speakers=num_speakers
+            )
         params = M.init_synthesizer_params(jax.random.PRNGKey(seed), model_cfg)
         id_map = {chr(32 + i): [i] for i in range(num_symbols)}
         id_map.update({"_": [0], "^": [1], "$": [2]})
