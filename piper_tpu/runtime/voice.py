@@ -76,6 +76,26 @@ class SynthesisStats:
         return self.infer_seconds / self.audio_seconds if self.audio_seconds else 0.0
 
 
+def _split_phonemes(phones: List[str], max_len: int) -> List[List[str]]:
+    """Split a phoneme list into chunks of <= max_len, preferring to
+    break at spaces (word boundaries)."""
+    if len(phones) <= max_len:
+        return [phones]
+    chunks: List[List[str]] = []
+    start = 0
+    while start < len(phones):
+        end = min(start + max_len, len(phones))
+        if end < len(phones):
+            # back up to the nearest space within the chunk
+            for j in range(end - 1, start, -1):
+                if phones[j] == " ":
+                    end = j + 1
+                    break
+        chunks.append(phones[start:end])
+        start = end
+    return chunks
+
+
 class TpuVoice:
     def __init__(
         self,
@@ -484,11 +504,20 @@ class TpuVoice:
                     phrases.append((current, 0))
             else:
                 phrases = [(list(phonemes), 0)]
+            # Guard against phrases longer than the largest bucket:
+            # split into fitting chunks (preferring space boundaries) —
+            # the reference never hits this because it has no static
+            # shapes; we must bound the id length.
+            max_ids = max(self.phoneme_buckets)
+            max_phonemes = (max_ids - 3) // 2  # BOS/PAD/EOS + interleave
             for phones, sil in phrases:
                 if not phones:
                     continue
-                phrase_ids.append(self.phonemes_to_ids(phones))
-                phrase_meta.append((s_idx, sil))
+                chunks = _split_phonemes(phones, max_phonemes)
+                for i, chunk in enumerate(chunks):
+                    last = i == len(chunks) - 1
+                    phrase_ids.append(self.phonemes_to_ids(chunk))
+                    phrase_meta.append((s_idx, sil if last else 0))
 
         audios = self.synthesize_ids_batch(phrase_ids, syn=syn, stats=stats)
 

@@ -141,3 +141,25 @@ def test_sentence_silence(fixture_voice):
     extra = len(a1) - len(a0)
     assert extra == int(0.25 * fixture_voice.config.sample_rate)
     assert np.all(a1[-extra:] == 0)
+
+
+def test_overlong_sentence_is_split(fixture_voice):
+    """A sentence whose ids exceed the largest phoneme bucket is split
+    at word boundaries instead of raising."""
+    from piper_tpu.runtime.voice import _split_phonemes
+
+    chunks = _split_phonemes(list("ab cd ef"), 4)
+    assert all(len(c) <= 4 for c in chunks)
+    assert [''.join(c) for c in chunks] == ["ab ", "cd ", "ef"]
+
+    # 600 phonemes > max bucket 512 -> must synthesize without error
+    words = ("phoneme stream " * 60).strip()
+    phonemes = [list(words)]
+    voice = fixture_voice
+    orig = voice.phonemizer
+    voice.phonemizer = lambda text, v="": phonemes
+    try:
+        audio = voice.synthesize("anything", syn=SynthesisConfig(seed=5))
+        assert audio.size > 0
+    finally:
+        voice.phonemizer = orig
