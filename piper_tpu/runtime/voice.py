@@ -76,17 +76,35 @@ class SynthesisStats:
         return self.infer_seconds / self.audio_seconds if self.audio_seconds else 0.0
 
 
-def _split_phonemes(phones: List[str], max_len: int) -> List[List[str]]:
-    """Split a phoneme list into chunks of <= max_len, preferring to
-    break at spaces (word boundaries)."""
-    if len(phones) <= max_len:
+def _split_phonemes(
+    phones: List[str],
+    max_ids: int,
+    id_cost=None,
+) -> List[List[str]]:
+    """Split a phoneme list so each chunk's *id* sequence fits in
+    max_ids, preferring to break at spaces (word boundaries).
+
+    `id_cost(phoneme) -> int` gives the id count a phoneme contributes
+    (phoneme_map expansion and multi-id map entries make this > 2);
+    default cost is 2 (id + interspersed PAD). A fixed 3 covers
+    BOS/PAD/EOS framing.
+    """
+    if id_cost is None:
+        id_cost = lambda p: 2  # noqa: E731
+    budget = max_ids - 3
+    costs = [id_cost(p) for p in phones]
+    if sum(costs) <= budget:
         return [phones]
     chunks: List[List[str]] = []
     start = 0
     while start < len(phones):
-        end = min(start + max_len, len(phones))
+        acc = 0
+        end = start
+        while end < len(phones) and acc + costs[end] <= budget:
+            acc += costs[end]
+            end += 1
+        end = max(end, start + 1)  # always consume at least one
         if end < len(phones):
-            # back up to the nearest space within the chunk
             for j in range(end - 1, start, -1):
                 if phones[j] == " ":
                     end = j + 1
@@ -507,13 +525,26 @@ class TpuVoice:
             # Guard against phrases longer than the largest bucket:
             # split into fitting chunks (preferring space boundaries) —
             # the reference never hits this because it has no static
-            # shapes; we must bound the id length.
+            # shapes; we must bound the id length. The cost accounts
+            # for phoneme_map expansion and multi-id map entries.
             max_ids = max(self.phoneme_buckets)
-            max_phonemes = (max_ids - 3) // 2  # BOS/PAD/EOS + interleave
+            id_map = self.config.phoneme_id_map
+            ph_map = self.config.phoneme_map or {}
+
+            pad_len = len(id_map.get("_", [0]))
+
+            def id_cost(p: str) -> int:
+                expanded = ph_map.get(p, [p])
+                return sum(
+                    len(id_map[q]) + pad_len
+                    for q in expanded
+                    if q in id_map
+                )
+
             for phones, sil in phrases:
                 if not phones:
                     continue
-                chunks = _split_phonemes(phones, max_phonemes)
+                chunks = _split_phonemes(phones, max_ids, id_cost)
                 for i, chunk in enumerate(chunks):
                     last = i == len(chunks) - 1
                     phrase_ids.append(self.phonemes_to_ids(chunk))

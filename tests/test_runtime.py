@@ -148,9 +148,14 @@ def test_overlong_sentence_is_split(fixture_voice):
     at word boundaries instead of raising."""
     from piper_tpu.runtime.voice import _split_phonemes
 
-    chunks = _split_phonemes(list("ab cd ef"), 4)
+    # max_ids=11 -> budget 8 ids -> 4 phonemes per chunk at cost 2
+    chunks = _split_phonemes(list("ab cd ef"), 11)
     assert all(len(c) <= 4 for c in chunks)
     assert [''.join(c) for c in chunks] == ["ab ", "cd ", "ef"]
+
+    # multi-id phonemes (cost 3 each): tighter split
+    chunks = _split_phonemes(list("abcd"), 11, id_cost=lambda p: 3)
+    assert all(len(c) <= 2 for c in chunks)
 
     # 600 phonemes > max bucket 512 -> must synthesize without error
     words = ("phoneme stream " * 60).strip()
