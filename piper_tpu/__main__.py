@@ -38,7 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-d", "--output-dir", "--output_dir",
                         help="Output directory for per-line WAVs")
     parser.add_argument("--output-raw", "--output_raw", action="store_true",
-                        help="Stream raw int16 audio to stdout")
+                        help="Stream raw audio to stdout")
+    parser.add_argument("--raw-format", "--raw_format",
+                        choices=["s16le", "mulaw"], default="s16le",
+                        help="Raw stream wire format: s16le int16 PCM "
+                             "(default, the reference's format) or G.711 "
+                             "mu-law (8 bits/sample, half the bytes)")
     parser.add_argument("--json-input", action="store_true",
                         help="stdin lines are JSON objects (C++ CLI protocol)")
     parser.add_argument("-s", "--speaker", type=int, help="Speaker id")
@@ -133,13 +138,24 @@ def main(argv=None) -> None:
         return obj["text"], syn, obj.get("output_file")
 
     if args.output_raw:
+        transcode = None
+        if args.raw_format == "mulaw":
+            import numpy as np
+
+            from .runtime.codec import mulaw_encode
+
+            def transcode(pcm_bytes: bytes) -> bytes:
+                return mulaw_encode(
+                    np.frombuffer(pcm_bytes, "<i2")
+                ).tobytes()
+
         for line in sys.stdin:
             line = line.strip()
             if not line:
                 continue
             text, syn, _ = parse_line(line)
             for chunk in voice.synthesize_stream_raw(text, syn=syn, stats=stats):
-                sys.stdout.buffer.write(chunk)
+                sys.stdout.buffer.write(transcode(chunk) if transcode else chunk)
                 sys.stdout.buffer.flush()
     elif args.output_dir:
         out_dir = Path(args.output_dir)

@@ -13,9 +13,10 @@ using the /batch endpoint.
 
 Extra endpoints beyond the reference:
   POST /batch  — JSON {"texts": [...]} -> JSON list of base64 WAVs
-  GET  /stream — chunked raw int16 PCM as it is decoded (45-frame
-                 vocoder chunks; first audio before the full utterance
-                 is synthesized)
+  GET  /stream — chunked raw PCM as it is decoded (45-frame vocoder
+                 chunks; first audio before the full utterance is
+                 synthesized). `format=s16le` (default) or
+                 `format=mulaw` (G.711, half the bytes).
   GET  /health — liveness + voice metadata
 """
 
@@ -84,10 +85,20 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
                     self.send_error(400, "no text provided")
                     return
                 syn = self._syn_from_query(query)
+                fmt = query.get("format", ["s16le"])[0]
+                from ..runtime.codec import RAW_FORMATS, encode_chunk
                 from ..runtime.streaming import synthesize_stream_chunks
 
+                if fmt not in RAW_FORMATS:
+                    self.send_error(
+                        400, f"unknown format {fmt!r} (one of {RAW_FORMATS})"
+                    )
+                    return
                 self.send_response(200)
-                self.send_header("Content-Type", "audio/L16")
+                self.send_header(
+                    "Content-Type",
+                    "audio/L16" if fmt == "s16le" else "audio/x-mulaw",
+                )
                 self.send_header(
                     "X-Sample-Rate", str(voice.config.sample_rate)
                 )
@@ -101,9 +112,7 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
                         ):
                             # fixed scaling (no per-chunk peak normalize:
                             # the global peak is unknown mid-stream)
-                            pcm = (
-                                np.clip(chunk, -1.0, 1.0) * 32767.0
-                            ).astype(np.int16).tobytes()
+                            pcm = encode_chunk(chunk, fmt)
                             self.wfile.write(
                                 f"{len(pcm):X}\r\n".encode()
                             )
