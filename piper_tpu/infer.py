@@ -36,6 +36,9 @@ def main(argv=None) -> None:
     p.add_argument("--noise-scale", type=float)
     p.add_argument("--length-scale", type=float)
     p.add_argument("--noise-w", type=float)
+    p.add_argument("--denoiser-strength", type=float, default=0.0,
+                   help="Spectral bias-subtraction strength "
+                        "(runtime/denoise.py; 0 = off)")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
@@ -67,8 +70,14 @@ def main(argv=None) -> None:
         ]
     infer_sec = time.perf_counter() - start
 
+    from .runtime.denoise import maybe_denoiser
+
+    denoiser = maybe_denoiser(voice, args.denoiser_strength)
+
     total_audio = 0.0
     for i, (rec, audio) in enumerate(zip(records, audios)):
+        if denoiser is not None:
+            audio = denoiser(audio, args.denoiser_strength)
         total_audio += len(audio) / sr
         write_wav(output_dir / f"{i}.wav", audio_float_to_int16(audio), sr)
 
