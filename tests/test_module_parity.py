@@ -283,3 +283,75 @@ def test_posterior_encoder_parity(ref):
     np.testing.assert_allclose(
         np.asarray(logs), logs_ref.numpy().transpose(0, 2, 1), atol=2e-5, rtol=1e-3
     )
+
+
+@pytest.mark.parametrize("t", [8, 9, 17, 64])
+def test_banded_relpos_equals_padded(t):
+    """The banded rel-pos skew tricks must equal the reference-shaped
+    padded path exactly (encoder.py fast path)."""
+    rng = np.random.default_rng(7)
+    b, h, w = 2, 2, E.WINDOW_SIZE
+    k = 2 * w + 1
+    r9 = jnp.asarray(rng.standard_normal((b, h, t, k)).astype(np.float32))
+
+    # Forward: band -> absolute == padded table through the 2L-1 path.
+    rel_full = jnp.pad(r9, ((0, 0), (0, 0), (0, 0), (t - 1 - w, t - 1 - w)))
+    np.testing.assert_allclose(
+        np.asarray(E._band_to_absolute(r9, w)),
+        np.asarray(E._relative_to_absolute(rel_full)),
+        atol=0, rtol=0,
+    )
+
+    # Reverse: absolute -> band == the 2L-1 extraction's center columns.
+    p_attn = jnp.asarray(rng.standard_normal((b, h, t, t)).astype(np.float32))
+    full = E._absolute_to_relative(p_attn)  # (b, h, t, 2t-1)
+    np.testing.assert_allclose(
+        np.asarray(E._absolute_to_band(p_attn, w)),
+        np.asarray(full[..., t - 1 - w : t + w]),
+        atol=0, rtol=0,
+    )
+
+
+@pytest.mark.parametrize("t", [3, 12, 64])
+def test_attention_banded_matches_padded_reference(t):
+    """attention_apply (banded fast path) equals a reference-shaped
+    implementation that pads the rel tables to 2L-1 (attentions.py
+    padded path), including t < window."""
+    import math as _math
+
+    import jax
+
+    rng = np.random.default_rng(8)
+    b, c, h = 2, 48, 2
+    kc = c // h
+    p = E.init_attention(jax.random.PRNGKey(0), c, h)
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    mask = jnp.asarray(np.ones((b, 1, t, t), np.float32))
+    out_banded = E.attention_apply(p, x, mask, n_heads=h)
+
+    # Padded-path reference (the reference's shapes, our layers).
+    scale = 1.0 / _math.sqrt(kc)
+    from piper_tpu.models.vits import layers as L
+
+    q = L.dense(p["q"], x).reshape(b, t, h, kc)
+    k = L.dense(p["k"], x).reshape(b, t, h, kc)
+    v = L.dense(p["v"], x).reshape(b, t, h, kc)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    rel_k = E._get_relative_embeddings(p["emb_rel_k"], t)
+    rel_logits = jnp.einsum(
+        "bqhd,md->bhqm", q * scale, rel_k[0], preferred_element_type=jnp.float32
+    )
+    scores = scores + E._relative_to_absolute(rel_logits)
+    scores = jnp.where(mask == 0, jnp.float32(-1e4), scores)
+    p_attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p_attn, v)
+    rel_v = E._get_relative_embeddings(p["emb_rel_v"], t)
+    rel_w = E._absolute_to_relative(p_attn)
+    out = out + jnp.einsum("bhqm,md->bqhd", rel_w, rel_v[0])
+    out_padded = L.dense(p["o"], out.reshape(b, t, c))
+
+    np.testing.assert_allclose(
+        np.asarray(out_banded), np.asarray(out_padded), atol=1e-5, rtol=1e-5
+    )
