@@ -120,6 +120,163 @@ def init_generator(rng, cfg: ModelConfig) -> Params:
     return p
 
 
+# ---------------------------------------------------------------------------
+# Time-major fast path (TPU serving)
+#
+# The XLA NWC path above keeps channels on the 128-lane axis; the late
+# HiFiGAN stages have 32-64 channels, so every conv pads lanes 2-4x and
+# the stage runs ~5x off bandwidth speed-of-light (measured 63 ms for
+# the medium-voice final MRF stage at batch 32 x 196k samples on v5e).
+# This path runs the whole generator time-major (B, C, T):
+#   - the MRF residual stacks use the fused Pallas kernel
+#     (ops/pallas/vocoder.py): 63 -> 13 ms on that stage;
+#   - each ConvTranspose1d is decomposed into its u polyphase dense
+#     convs (out[u*v + p] = sum_q Wp[q]^T x[v+q]), computed as
+#     time-major shift-matmuls and interleaved with a stack+reshape
+#     (u-minor axis merge — no transpose);
+#   - conv_post (C -> 1, k=7) is a sum of 7 shifted dot products.
+# End to end on the medium voice: 87 -> 44 ms (batch 32 x 768 frames).
+# Exactness: per-row compute is batch-size-invariant, and invalid
+# (padded) positions are zeroed through the Pallas kernel's length
+# masking, matching the reference's x_mask semantics
+# (tests/test_pallas_vocoder.py::test_generator_tm_matches_xla).
+# ---------------------------------------------------------------------------
+
+
+def _tm_phase_plan(k: int, u: int):
+    """Static polyphase plan for one ConvTranspose1d stage.
+
+    With the pre-flipped (k, c_in, c_out) kernel and the input-dilated
+    formulation (conv1d_transpose above), output t = u*v + p is
+    out[t] = sum over taps idx = u*q + (k-1-P-p) in [0, k) of
+    K[idx]^T x[v + q]. Returns (q0, used, idx): tap offsets start at
+    q0, `used[p, qi]` marks real taps, `idx[p, qi]` the kernel row.
+    """
+    import numpy as np
+
+    pad = (k - u) // 2
+    nq = -(-k // u) + 1
+    q0 = -1
+    used = np.zeros((u, nq), bool)
+    idx = np.zeros((u, nq), np.int32)
+    for p in range(u):
+        base = k - 1 - pad - p
+        for qi in range(nq):
+            t = u * (q0 + qi) + base
+            if 0 <= t < k:
+                used[p, qi] = True
+                idx[p, qi] = t
+    return q0, used, idx
+
+
+def prepare_tm(dec_params: Params, cfg: ModelConfig, dtype=jnp.bfloat16) -> Params:
+    """Host-side derived weights for the time-major path: per-stage
+    polyphase upsample tables (u, nq, c_in, c_out) and packed MRF
+    weights for the Pallas kernel. Pure reshuffles of dec params —
+    attach as `params['dec_tm']` so they flow through jit normally."""
+    import numpy as np
+
+    from ...ops.pallas.vocoder import pack_stage_weights
+
+    ks = tuple(cfg.resblock_kernel_sizes)
+    ds = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+    ups = []
+    mrf = []
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        kern = np.asarray(dec_params["ups"][i]["w"], np.float32)
+        q0, used, idx = _tm_phase_plan(k, u)
+        w = np.zeros(used.shape + kern.shape[1:], np.float32)
+        for p in range(used.shape[0]):
+            for qi in range(used.shape[1]):
+                if used[p, qi]:
+                    w[p, qi] = kern[idx[p, qi]]
+        ups.append(jnp.asarray(w, dtype))
+        mrf.append(
+            pack_stage_weights(
+                dec_params["resblocks"][i], ks, ds, cfg.resblock, dtype=dtype
+            )
+        )
+    return {"ups": ups, "mrf": mrf}
+
+
+def _tconv_tm(x_tm, w_phase, q0, used, bias):
+    """Polyphase time-major transposed conv: (B, C_in, V) -> (B, C_out, V*u)."""
+    uph, nq = used.shape
+    v = x_tm.shape[2]
+    phases = []
+    for p in range(uph):
+        acc = None
+        for qi in range(nq):
+            if not used[p, qi]:
+                continue
+            q = q0 + qi
+            if q == 0:
+                seg = x_tm
+            elif q > 0:
+                seg = jnp.pad(x_tm, ((0, 0), (0, 0), (0, q)))[:, :, q:]
+            else:
+                seg = jnp.pad(x_tm, ((0, 0), (0, 0), (-q, 0)))[:, :, :v]
+            t = jnp.einsum("io,biv->bov", w_phase[p, qi], seg)
+            acc = t if acc is None else acc + t
+        phases.append(acc)
+    out = jnp.stack(phases, axis=-1)  # (B, C_out, V, u): u-minor
+    out = out.reshape(out.shape[0], out.shape[1], v * uph)
+    return out + bias.astype(out.dtype)[None, :, None]
+
+
+def generator_tm_apply(
+    p: Params,
+    tm: Params,
+    x: jnp.ndarray,
+    frame_lengths: jnp.ndarray,
+    *,
+    cfg: ModelConfig,
+    g: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Time-major generator. x: (B, T_frames, C) pre-masked latent;
+    frame_lengths: (B,) int32 valid frames. Returns (B, T*u_total)."""
+    from ...ops.pallas.vocoder import mrf_fused
+
+    ks = tuple(cfg.resblock_kernel_sizes)
+    ds = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+    x = L.conv(p["conv_pre"], x, padding=3)
+    if g is not None:
+        x = x + L.dense(p["cond"], g[:, None, :])
+    x = jnp.transpose(x, (0, 2, 1))  # (B, C, T)
+    lens = frame_lengths.astype(jnp.int32)
+    # Zero invalid frames: the first polyphase conv reads one frame
+    # ahead (q=+1) and conv_pre left bias/garbage there; later stages
+    # are cleaned by the Pallas kernel's length masking.
+    pos = jnp.arange(x.shape[2], dtype=jnp.int32)
+    x = jnp.where(pos[None, None, :] < lens[:, None, None], x, 0)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = tnn.leaky_relu(x, LRELU_SLOPE)
+        q0, used, _ = _tm_phase_plan(k, u)
+        x = _tconv_tm(x, tm["ups"][i], q0, used, p["ups"][i]["b"])
+        lens = lens * u
+        pw, pb = tm["mrf"][i]
+        x = mrf_fused(
+            x, lens, pw, pb, kernel_sizes=ks, dilation_sizes=ds,
+            resblock_type=cfg.resblock, interpret=interpret,
+        )
+    x = tnn.leaky_relu(x, 0.01)
+    kp = p["conv_post"]["w"].astype(x.dtype)  # (7, C, 1)
+    v = x.shape[2]
+    acc = None
+    for tau in range(kp.shape[0]):
+        sh = tau - (kp.shape[0] - 1) // 2
+        if sh == 0:
+            seg = x
+        elif sh > 0:
+            seg = jnp.pad(x, ((0, 0), (0, 0), (0, sh)))[:, :, sh:]
+        else:
+            seg = jnp.pad(x, ((0, 0), (0, 0), (-sh, 0)))[:, :, :v]
+        t = jnp.einsum("i,biv->bv", kp[tau, :, 0], seg)
+        acc = t if acc is None else acc + t
+    return jnp.tanh(acc)  # (B, T_samples)
+
+
 def generator_apply(
     p: Params,
     x: jnp.ndarray,

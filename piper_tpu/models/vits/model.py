@@ -180,6 +180,15 @@ def synthesizer_vocode(
     """
     g = speaker_embedding(params, cfg, sid)
     z = F.flow_apply(params["flow"], z_p, y_mask, cfg=cfg, g=g, reverse=True)
+    if "dec_tm" in params and cfg.vocoder != "mb_istft":
+        # Time-major Pallas fast path (see generator.prepare_tm):
+        # attached to the param tree by the serving runtime when the
+        # backend supports it (TPU, single device).
+        frame_lengths = jnp.sum(y_mask[..., 0].astype(jnp.int32), axis=1)
+        return G.generator_tm_apply(
+            params["dec"], params["dec_tm"], z * y_mask, frame_lengths,
+            cfg=cfg, g=g,
+        )
     return apply_decoder(params, z * y_mask, y_mask, cfg=cfg, g=g)
 
 

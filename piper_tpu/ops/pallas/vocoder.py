@@ -66,12 +66,14 @@ def _mrf_kernel(
     # prefetch scalars
     lengths_ref,  # (B,) int32 valid samples per row
     # inputs
-    x_ref,  # (1, C, W) VMEM tile (W = T_tile + 2*halo)
+    x_curr_ref,  # (1, C, T_tile) tile i of the halo-shifted input
+    x_next_ref,  # (1, C, T_tile) tile i+1 (supplies the right halo)
     w_ref,  # (n_convs, k_max, C, C)
     b_ref,  # (n_convs, C)
     # outputs
     out_ref,  # (1, C, T_tile)
     # scratch
+    win_ref,  # (C, W) assembled halo window
     tap_ref,  # (k_max*C, W) tap-stacking buffer
     *,
     blocks: List[List[Tuple[int, int]]],
@@ -90,8 +92,14 @@ def _mrf_kernel(
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1) + t0
     valid = (pos >= 0) & (pos < valid_len)  # (1, W)
 
-    x = x_ref[0, 0]  # (C, W)
-    x = jnp.where(valid, x, 0.0)
+    # Window i = x_shifted[i*t : i*t + t + 2h] = tile i ++ tile[i+1][:2h]
+    # (the input was pre-shifted right by `halo`, so no left neighbor is
+    # needed). Assembled through scratch: overlapping windows cannot be
+    # expressed as a BlockSpec (stride != block), and restriding in XLA
+    # costs 6-30x the kernel itself (gather/transpose).
+    win_ref[:, :t_tile] = x_curr_ref[0]
+    win_ref[:, t_tile:] = x_next_ref[0, :, : 2 * halo]
+    x = jnp.where(valid, win_ref[...], 0.0)
 
     def lrelu(v):
         # max/min form: Mosaic rejects bf16 ordered compares on some
@@ -234,15 +242,25 @@ def mrf_fused(
     # VMEM budget: the unrolled conv chain keeps ~10 live (C, width)
     # buffers (bf16 + f32 accumulators); keep C * t_tile ~ 128K elems.
     t_tile = min(t_tile, max(512, (131072 // max(c, 32)) // 128 * 128))
-    t_tile = min(t_tile, t)
+    t_tile = min(t_tile, -(-t // 128) * 128)
+    # window assembly needs the right halo to fit in the next tile, and
+    # Mosaic needs 128-aligned lane blocks
+    t_tile = max(t_tile, -(-2 * halo // 128) * 128)
     n_tiles = pl.cdiv(t, t_tile)
     t_padded = n_tiles * t_tile
     if t_padded != t:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, t_padded - t)))
 
-    # Halo'd input view: pad so every tile can read [t0-halo, t0+tile+halo)
-    x_padded = jnp.pad(x_tm, ((0, 0), (0, 0), (halo, halo)))
     width = t_tile + 2 * halo
+    assert 2 * halo <= t_tile, "halo larger than half a tile"
+    # Shift right by halo and pad to (n_tiles+1) whole tiles: window i
+    # = x_shifted[i*t : i*t+width] = tile i ++ head of tile i+1 — both
+    # plain BlockSpec fetches (no restride; an XLA gather here costs
+    # ~30x the kernel, a window-major transpose ~6x).
+    x_shifted = jnp.pad(
+        x_tm,
+        ((0, 0), (0, 0), (halo, (n_tiles + 1) * t_tile - t_padded - halo)),
+    )
 
     kernel = functools.partial(
         _mrf_kernel,
@@ -253,12 +271,6 @@ def mrf_fused(
         acc_dtype=jnp.float32,
     )
 
-    # Pallas indexes blocks in units of the block shape; overlapping
-    # halo windows need stride t_tile != width. We restride x into an
-    # explicit (B, n_tiles, C, width) overlapping-window tensor (one
-    # XLA gather, ~1.05x extra bytes) and use unit block indexing.
-    windows = _overlapping_windows(x_padded, t_tile, width, n_tiles)
-
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -266,8 +278,13 @@ def mrf_fused(
             grid=(b, n_tiles),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, c, width),
-                    lambda bi, ti, lens: (bi, ti, 0, 0),
+                    (1, c, t_tile),
+                    lambda bi, ti, lens: (bi, 0, ti),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, c, t_tile),
+                    lambda bi, ti, lens: (bi, 0, ti + 1),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -278,18 +295,11 @@ def mrf_fused(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((packed_w.shape[1] * c, width), x_tm.dtype)
+                pltpu.VMEM((c, width), x_tm.dtype),
+                pltpu.VMEM((packed_w.shape[1] * c, width), x_tm.dtype),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, t_padded), x_tm.dtype),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), windows, packed_w, packed_b)
+    )(lengths.astype(jnp.int32), x_shifted, x_shifted, packed_w, packed_b)
     return out[:, :, :t]
-
-
-def _overlapping_windows(x_padded, t_tile, width, n_tiles):
-    """(B, C, T+2h) -> (B, n_tiles, C, width) overlapping tile windows."""
-    b, c, _ = x_padded.shape
-    starts = jnp.arange(n_tiles) * t_tile
-    idx = starts[:, None] + jnp.arange(width)[None, :]  # (n_tiles, width)
-    return jnp.transpose(x_padded[:, :, idx], (0, 2, 1, 3))

@@ -123,11 +123,11 @@ def synthesize_stream_chunks(
     if voice.model_cfg.num_speakers > 1:
         sid = jnp.asarray([syn.speaker_id or 0], jnp.int32)
 
-    enc = voice._encode(
+    enc, frames_dev = voice._encode(
         voice.params, jnp.asarray(ids_arr),
         jnp.asarray([len(ids)], np.int32), noise_w, length_scale, keys, sid,
     )
-    n_frames = int(jnp.sum(enc.durations))
+    n_frames = int(frames_dev[0])
     fbucket = pick_bucket(n_frames, voice.frame_buckets)
     z_p, _y_mask = synthesizer_latents(
         voice.params, enc, fbucket, cfg=voice.model_cfg,

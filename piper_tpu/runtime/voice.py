@@ -115,6 +115,11 @@ def _split_phonemes(
 
 
 class TpuVoice:
+    # Packed-transfer size granularity (samples): output sizes are
+    # rounded up to this so compile count stays bounded while padding
+    # waste is <=128 KB per batch.
+    _PACK_QUANTUM = 1 << 16
+
     def __init__(
         self,
         params: Any,
@@ -140,6 +145,26 @@ class TpuVoice:
         self.params = jax.device_put(
             jax.tree.map(lambda a: jnp.asarray(a), params)
         )
+        # Time-major Pallas vocoder path: TPU-only (Mosaic kernels),
+        # single-device (the pallas_call is not partitioned under a
+        # mesh), fast precision (parity mode keeps the reference-shaped
+        # XLA graph). 2x decode throughput on v5e (see generator.py).
+        try:
+            platform = jax.devices()[0].platform.lower()
+        except Exception:  # pragma: no cover
+            platform = "cpu"
+        if (
+            precision != "parity"
+            and mesh is None
+            and model_cfg.vocoder != "mb_istft"
+            and platform in ("tpu", "axon")
+        ):
+            from ..models.vits import generator as _G
+
+            self.params = dict(self.params)
+            self.params["dec_tm"] = jax.device_put(
+                _G.prepare_tm(self.params["dec"], model_cfg, self.dtype)
+            )
         self.phoneme_buckets = list(
             phoneme_buckets or batching.DEFAULT_PHONEME_BUCKETS
         )
@@ -167,16 +192,26 @@ class TpuVoice:
                         jax.random.fold_in(k, 0), (t, 2), jnp.float32
                     )
                 )(keys)
-                return M.synthesizer_encode(
+                enc = M.synthesizer_encode(
                     params, ids, lengths, cfg=cfg, noise_w_scale=noise_w,
                     length_scale=length_scale, sid=sid, dur_noise=dur_noise,
                     dtype=dtype,
                 )
+                # Frame counts computed in-graph: the host fetches this
+                # (B,) alone to plan frame buckets — no eager reduce op.
+                return enc, jnp.sum(enc.durations, axis=-1)
 
         fast_io = precision != "parity"
 
-        def decode_fn(params, enc, num_frames, noise_scale, keys, sid):
+        def decode_fn(params, enc, rows_idx, noise_scale, keys, sid, num_frames):
+            """rows_idx selects the frame-bucket's rows out of the full
+            encode batch *inside* the jit — the per-array host gathers
+            this replaces cost a dispatch each (~1 ms over a tunneled
+            link) times arrays times groups."""
             with jax.default_matmul_precision(mm_prec):
+                enc = jax.tree.map(lambda a: a[rows_idx], enc)
+                keys = keys[rows_idx]
+                sid = sid[rows_idx] if sid is not None else None
                 frame_noise = jax.vmap(
                     lambda k: jax.random.normal(
                         jax.random.fold_in(k, 1),
@@ -198,6 +233,30 @@ class TpuVoice:
                     audio = audio.astype(jnp.float32)
                 return audio, y_lengths
 
+        def pack_fn(audio_list, starts, total):
+            """Compact every decode group's valid samples into one flat
+            buffer (device-side) so the batch pays a single device->host
+            transfer with no padding bytes. starts: (2, R) int32 — row r
+            of the concatenated groups has its valid samples at flat
+            position src[r].. and lands at out[r].. in the output."""
+            flat = jnp.concatenate([a.reshape(-1) for a in audio_list])
+            src_starts, out_starts = starts[0], starts[1]
+            k = jax.lax.iota(jnp.int32, total)
+            row = (
+                jnp.searchsorted(
+                    out_starts, k, side="right", method="compare_all"
+                ).astype(jnp.int32)
+                - 1
+            )
+            idx = src_starts[row] + (k - out_starts[row])
+            return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+
+        # fold_in per utterance, batched into one dispatch (seeded mode).
+        self._fold_keys = jax.jit(
+            jax.vmap(jax.random.fold_in, in_axes=(None, 0))
+        )
+        self._pack = jax.jit(pack_fn, static_argnums=(2,))
+
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -211,13 +270,13 @@ class TpuVoice:
                 in_shardings=(rep, data, data, None, None, data, data),
             )
             self._decode = jax.jit(
-                decode_fn, static_argnums=(2,),
-                in_shardings=(rep, data, None, data, data),
+                decode_fn, static_argnums=(6,),
+                in_shardings=(rep, data, None, None, data, data),
             )
         else:
             self._data_size = 1
             self._encode = jax.jit(encode_fn)
-            self._decode = jax.jit(decode_fn, static_argnums=(2,))
+            self._decode = jax.jit(decode_fn, static_argnums=(6,))
 
     # ------------------------------------------------------------------
     # Loading
@@ -362,20 +421,28 @@ class TpuVoice:
         results: List[Optional[np.ndarray]] = [None] * len(ids_list)
         u = self.model_cfg.upsample_factor
 
-        # Per-utterance keys: under syn.seed, keyed by (seed, content
-        # hash) so the same utterance yields identical audio in any
-        # batch composition; fresh stream keys otherwise.
+        # Per-utterance keys, derived in ONE device dispatch: under
+        # syn.seed, keyed by (seed, content hash) so the same utterance
+        # yields identical audio in any batch composition
+        # (batch-invariant serving determinism); fresh stream keys
+        # otherwise.
+        n_utt = max(len(ids_list), 1)
         if syn.seed is not None:
-            base = jax.random.PRNGKey(syn.seed)
-            utt_keys = [
-                jax.random.fold_in(
-                    base,
-                    zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF,
-                )
-                for ids in ids_list
-            ]
+            hashes = np.fromiter(
+                (
+                    zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
+                    for ids in ids_list
+                ),
+                np.uint32,
+                count=len(ids_list),
+            )
+            if len(hashes) == 0:
+                hashes = np.zeros((1,), np.uint32)
+            keys_all = self._fold_keys(
+                jax.random.PRNGKey(syn.seed), jnp.asarray(hashes)
+            )
         else:
-            utt_keys = list(jax.random.split(self._next_key(), max(len(ids_list), 1)))
+            keys_all = jax.random.split(self._next_key(), n_utt)
 
         # Phase A: dispatch every encode (async — no host sync yet).
         # With a mesh, row counts are padded to a multiple of the data
@@ -393,18 +460,16 @@ class TpuVoice:
                 seq = np.asarray(ids_list[idx], np.int32)
                 ids_arr[row, : len(seq)] = seq
                 len_arr[row] = len(seq)
-            key_rows = [utt_keys[idx] for idx in indices]
-            key_rows += [key_rows[0]] * (b_pad - b)
-            keys = jnp.stack(key_rows)
+            key_idx = np.asarray(indices + indices[:1] * (b_pad - b), np.int32)
+            keys = keys_all[key_idx]
             sid = None
             if self._multispeaker:
                 spk = syn.speaker_id if syn.speaker_id is not None else 0
                 sid = jnp.full((b_pad,), spk, jnp.int32)
-            enc = self._encode(
+            enc, frames_dev = self._encode(
                 self.params, jnp.asarray(ids_arr), jnp.asarray(len_arr),
                 noise_w, length_scale, keys, sid,
             )
-            frames_dev = jnp.sum(enc.durations, axis=-1)
             encode_groups.append((indices, enc, frames_dev, keys, sid))
 
         # Phase B: sync frame counts — one concatenated transfer for all
@@ -420,9 +485,19 @@ class TpuVoice:
         else:
             frame_splits = [np.asarray(encode_groups[0][2])] if encode_groups else []
 
-        # Dispatch every decode and start async device->host audio
-        # copies so transfers overlap with later groups' compute.
+        # Dispatch every decode (row selection fused into the decode
+        # jit). Single-device: all groups' valid samples are then
+        # compacted device-side into ONE flat buffer — one d->h
+        # transfer per batch, zero padding bytes (the host link is the
+        # serving bottleneck; see pack_fn). Mesh: per-group transfers
+        # (ICI-attached chips aren't link-bound).
         decode_groups = []
+        pack_audio: List[Any] = []
+        # (result_index, out_start, n_samples) per packed row
+        pack_rows: List[Tuple[int, int, int]] = []
+        src_starts: List[int] = []
+        src_base = 0
+        out_pos = 0
         for (indices, enc, frames_dev, keys, sid), frames in zip(
             encode_groups, frame_splits
         ):
@@ -432,27 +507,54 @@ class TpuVoice:
             ):
                 pad_n = -(-len(rows) // ds) * ds - len(rows)
                 rows_idx = jnp.asarray(rows + rows[:1] * pad_n)
-                sub_enc = jax.tree.map(lambda a: a[rows_idx], enc)
-                sub_sid = sid[rows_idx] if sid is not None else None
-                sub_keys = keys[rows_idx]
-                if self.mesh is not None:
-                    # gather outputs are replicated; reshard onto 'data'
-                    sub_enc = jax.device_put(sub_enc, self._data_sharding)
-                    sub_keys = jax.device_put(sub_keys, self._data_sharding)
-                    if sub_sid is not None:
-                        sub_sid = jax.device_put(sub_sid, self._data_sharding)
                 audio, _y_lengths = self._decode(
-                    self.params, sub_enc, int(fbucket), noise_scale,
-                    sub_keys, sub_sid,
+                    self.params, enc, rows_idx, noise_scale,
+                    keys, sid, int(fbucket),
                 )
-                try:
-                    audio.copy_to_host_async()
-                except AttributeError:  # non-jax array in tests
-                    pass
-                decode_groups.append((indices, rows, frames, audio))
+                if self.mesh is None:
+                    row_samples = int(fbucket) * u
+                    for row_i, row in enumerate(rows):
+                        n = int(real_frames[row]) * u
+                        pack_rows.append((indices[row], out_pos, n))
+                        src_starts.append(src_base + row_i * row_samples)
+                        out_pos += n
+                    src_base += audio.shape[0] * row_samples
+                    pack_audio.append(audio)
+                else:
+                    try:
+                        audio.copy_to_host_async()
+                    except AttributeError:  # non-jax array in tests
+                        pass
+                    decode_groups.append((indices, rows, frames, audio))
+
+        packed = None
+        if pack_audio:
+            total = -(-out_pos // self._PACK_QUANTUM) * self._PACK_QUANTUM
+            starts = jnp.asarray(
+                np.stack(
+                    [
+                        np.asarray(src_starts, np.int32),
+                        np.asarray([r[1] for r in pack_rows], np.int32),
+                    ]
+                )
+            )
+            packed = self._pack(tuple(pack_audio), starts, total)
+            # Start the device->host copy as early as possible (right
+            # after pack computes). The host link is FIFO, so the next
+            # batch's tiny frame-count sync queues behind this copy —
+            # but the link is the bottleneck resource either way, and
+            # starting the big copy late just adds idle link time
+            # (measured: lazy fetch-in-collect is ~15% slower end to
+            # end).
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
 
         return {
             "decode_groups": decode_groups,
+            "packed": packed,
+            "pack_rows": pack_rows,
             "results": results,
             "t0": t0,
             "u": u,
@@ -464,6 +566,14 @@ class TpuVoice:
         """Wait for a submit()ted batch and return float32 waveforms."""
         results = handle["results"]
         u = handle["u"]
+        if handle.get("packed") is not None:
+            flat = np.asarray(handle["packed"])
+            if flat.dtype == np.int16:
+                flat = flat.astype(np.float32) / 32767.0
+            else:
+                flat = flat.astype(np.float32)
+            for res_idx, out_start, n in handle["pack_rows"]:
+                results[res_idx] = flat[out_start : out_start + n]
         for indices, rows, frames, audio in handle["decode_groups"]:
             audio_np = np.asarray(audio)
             if audio_np.dtype == np.int16:

@@ -98,3 +98,61 @@ def test_mrf_fused_tile_invariance():
         )
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
+
+
+@pytest.mark.parametrize("quality", ["medium", "high"])
+def test_generator_tm_matches_xla(quality):
+    """Full time-major generator (polyphase upsample + fused MRF,
+    interpret mode) equals the reference-shaped XLA generator,
+    including masked padded rows (generator.py fast path)."""
+    from piper_tpu.models.vits import model as M
+    from piper_tpu.ops import nn as tnn
+
+    cfg = ModelConfig.for_quality(quality, num_symbols=64)
+    params = M.init_synthesizer_params(jax.random.PRNGKey(0), cfg)
+    b, tf = 2, 24
+    lens = jnp.asarray([24, 17], jnp.int32)
+    mask = (jnp.arange(tf)[None, :] < lens[:, None]).astype(jnp.float32)[..., None]
+    z = (
+        jax.random.normal(jax.random.PRNGKey(1), (b, tf, cfg.inter_channels))
+        * mask
+    )
+
+    ref = G.generator_apply(params["dec"], z, mask, cfg=cfg)
+    tm = G.prepare_tm(params["dec"], cfg, dtype=jnp.float32)
+    got = G.generator_tm_apply(
+        params["dec"], tm, z, lens, cfg=cfg, interpret=True
+    )
+    u = cfg.upsample_factor
+    # compare valid samples per row (reference zeroes padded tail via
+    # masks; the tm path leaves conv_post tail bleed there)
+    for i in range(b):
+        n = int(lens[i]) * u
+        np.testing.assert_allclose(
+            np.asarray(got[i, :n]), np.asarray(ref[i, :n]),
+            atol=2e-5, rtol=1e-4,
+        )
+
+
+def test_tconv_tm_matches_conv1d_transpose():
+    from piper_tpu.ops import nn as tnn
+
+    rng = np.random.default_rng(3)
+    for (k, u, ci, co) in [(16, 8, 12, 8), (8, 4, 6, 4), (16, 8, 4, 4), (4, 2, 5, 3)]:
+        kern = jnp.asarray(rng.standard_normal((k, ci, co)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((2, 20, ci)).astype(np.float32))
+        ref = tnn.conv1d_transpose(x, kern, bias, stride=u, padding=(k - u) // 2)
+        q0, used, idx = G._tm_phase_plan(k, u)
+        w = np.zeros(used.shape + (ci, co), np.float32)
+        for p in range(used.shape[0]):
+            for qi in range(used.shape[1]):
+                if used[p, qi]:
+                    w[p, qi] = np.asarray(kern)[idx[p, qi]]
+        got = G._tconv_tm(
+            jnp.transpose(x, (0, 2, 1)), jnp.asarray(w), q0, used, bias
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(got, (0, 2, 1))), np.asarray(ref),
+            atol=1e-5, rtol=1e-5,
+        )

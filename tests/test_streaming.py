@@ -58,11 +58,11 @@ def test_streaming_matches_full_decode(voice):
     bucket = 512
     ids_arr = _np.zeros((1, bucket), _np.int32)
     ids_arr[0, : len(ids)] = ids
-    enc = voice._encode(
+    enc, frames_dev = voice._encode(
         voice.params, jnp.asarray(ids_arr), jnp.asarray([len(ids)], _np.int32),
         jnp.float32(inf.noise_w), jnp.float32(1.0), keys, None,
     )
-    n_frames = int(jnp.sum(enc.durations))
+    n_frames = int(frames_dev[0])
     fbucket = 2048 if n_frames > 1024 else 1024
     z_p, y_mask = synthesizer_latents(
         voice.params, enc, fbucket, cfg=voice.model_cfg,
