@@ -212,13 +212,22 @@ class TpuVoice:
                 enc = jax.tree.map(lambda a: a[rows_idx], enc)
                 keys = keys[rows_idx]
                 sid = sid[rows_idx] if sid is not None else None
-                frame_noise = jax.vmap(
-                    lambda k: jax.random.normal(
-                        jax.random.fold_in(k, 1),
-                        (num_frames, cfg.inter_channels),
-                        jnp.float32,
-                    )
-                )(keys).astype(dtype)
+
+                # Counter-mode noise (one key per frame index): the
+                # noise prefix is independent of num_frames, so a row
+                # decoded at any frame bucket yields identical audio —
+                # required for speculative bucket planning (and harmless
+                # determinism hardening otherwise).
+                def row_noise(k):
+                    kf = jax.random.fold_in(k, 1)
+                    return jax.vmap(
+                        lambda i: jax.random.normal(
+                            jax.random.fold_in(kf, i),
+                            (cfg.inter_channels,), jnp.float32,
+                        )
+                    )(jnp.arange(num_frames))
+
+                frame_noise = jax.vmap(row_noise)(keys).astype(dtype)
                 audio, y_lengths = M.synthesizer_decode(
                     params, enc, num_frames, cfg=cfg, noise_scale=noise_scale,
                     sid=sid, frame_noise=frame_noise, dtype=dtype,
@@ -251,11 +260,61 @@ class TpuVoice:
             idx = src_starts[row] + (k - out_starts[row])
             return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
 
+        u_factor = model_cfg.upsample_factor
+
+        def pack2_fn(audio_list, ylen_list, a0, total):
+            """Speculative self-describing pack: compacts the decode
+            groups' valid samples by their *device-known* true lengths
+            and prepends a header with the true frame counts — the host
+            needs no frame sync before this single transfer.
+
+            Layout (int16): [lo15(frames_r), hi(frames_r)] * R padded to
+            a0, then rows' valid samples back to back. Rows whose audio
+            did not fit (bucket or total overflow) are detected by the
+            host from the header and re-fetched exactly (rare; the
+            estimator calibrates on every batch).
+            """
+            ylens = jnp.concatenate(ylen_list).astype(jnp.int32)  # (R,)
+            caps, srcs, base = [], [], 0
+            for a in audio_list:
+                rows_g, samp_g = a.shape
+                caps.append(jnp.full((rows_g,), samp_g, jnp.int32))
+                srcs.append(base + jnp.arange(rows_g, dtype=jnp.int32) * samp_g)
+                base += rows_g * samp_g
+            caps = jnp.concatenate(caps)
+            src_starts = jnp.concatenate(srcs)
+            valid = jnp.minimum(ylens * u_factor, caps)
+            out_starts = a0 + jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(valid)[:-1]]
+            )
+            hdr = jnp.stack(
+                [(ylens & 0x7FFF).astype(jnp.int16),
+                 (ylens >> 15).astype(jnp.int16)], axis=1
+            ).reshape(-1)
+            hdr = jnp.pad(hdr, (0, a0 - hdr.shape[0])).astype(jnp.int16)
+            flat = jnp.concatenate([a.reshape(-1) for a in audio_list])
+            k = jax.lax.iota(jnp.int32, total - a0) + a0
+            row = (
+                jnp.searchsorted(
+                    out_starts, k, side="right", method="compare_all"
+                ).astype(jnp.int32)
+                - 1
+            )
+            row = jnp.clip(row, 0, src_starts.shape[0] - 1)
+            idx = src_starts[row] + (k - out_starts[row])
+            body = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+            return jnp.concatenate([hdr, body.astype(jnp.int16)])
+
         # fold_in per utterance, batched into one dispatch (seeded mode).
         self._fold_keys = jax.jit(
             jax.vmap(jax.random.fold_in, in_axes=(None, 0))
         )
         self._pack = jax.jit(pack_fn, static_argnums=(2,))
+        self._pack2 = jax.jit(pack2_fn, static_argnums=(2, 3))
+        # frames-per-id estimator for speculative decode buckets:
+        # (mean, upper). None until the first exact batch calibrates.
+        self._ratio: Optional[Tuple[float, float]] = None
+        self._ratio_lock = threading.Lock()
 
         self.mesh = mesh
         if mesh is not None:
@@ -472,6 +531,21 @@ class TpuVoice:
             )
             encode_groups.append((indices, enc, frames_dev, keys, sid))
 
+        # Speculative path (steady-state single-device serving): frame
+        # buckets are chosen from the calibrated frames-per-id
+        # estimator, so submit() never waits on the device — the true
+        # frame counts ride back in the packed transfer's header and
+        # mispredictions are re-fetched exactly in collect().
+        if (
+            self.mesh is None
+            and self.precision != "parity"
+            and self._ratio is not None
+            and encode_groups
+        ):
+            return self._dispatch_speculative(
+                encode_groups, lengths, results, noise_scale, t0, u
+            )
+
         # Phase B: sync frame counts — one concatenated transfer for all
         # encode groups (each host sync pays full link latency).
         if len(encode_groups) > 1:
@@ -484,6 +558,18 @@ class TpuVoice:
             )
         else:
             frame_splits = [np.asarray(encode_groups[0][2])] if encode_groups else []
+
+        # Calibrate the frames-per-id estimator from the exact counts.
+        obs = [
+            (float(f), float(lengths[idx]))
+            for (indices, *_), frames in zip(encode_groups, frame_splits)
+            for idx, f in zip(indices, frames[: len(indices)])
+            if lengths[idx] > 0
+        ]
+        if obs:
+            self._update_ratio(
+                [f / l for f, l in obs]
+            )
 
         # Dispatch every decode (row selection fused into the decode
         # jit). Single-device: all groups' valid samples are then
@@ -560,12 +646,157 @@ class TpuVoice:
             "u": u,
         }
 
+    def _update_ratio(self, ratios: List[float]) -> None:
+        """Track (mean, upper) frames-per-id: mean sizes the packed
+        transfer, upper picks decode buckets. Upper moves up fast (a
+        miss costs a re-decode) and decays slowly."""
+        obs_mean = float(np.mean(ratios))
+        obs_max = float(np.max(ratios))
+        with self._ratio_lock:
+            if self._ratio is None:
+                self._ratio = (obs_mean, obs_max * 1.2)
+            else:
+                rm, ru = self._ratio
+                self._ratio = (
+                    0.7 * rm + 0.3 * obs_mean,
+                    max(obs_max * 1.1, 0.9 * ru + 0.1 * obs_max * 1.2),
+                )
+
+    def _dispatch_speculative(
+        self, encode_groups, lengths, results, noise_scale, t0, u
+    ) -> dict:
+        """Decode at estimated frame buckets and emit one
+        self-describing packed transfer (see pack2_fn). No host sync."""
+        with self._ratio_lock:
+            rm, ru = self._ratio
+        max_fb = max(self.frame_buckets)
+        spec_audio: List[Any] = []
+        spec_ylens: List[Any] = []
+        # per packed row: (result_idx, cap_samples, group_no, row_in_group,
+        #                  enc_group_no, row_in_enc, id_len)
+        spec_rows: List[Tuple[int, int, int, int, int, int, int]] = []
+        est_total = 0
+        for eg_no, (indices, enc, frames_dev, keys, sid) in enumerate(
+            encode_groups
+        ):
+            est = [
+                min(max(int(lengths[idx] * ru) + 4, 1), max_fb)
+                for idx in indices
+            ]
+            for fbucket, rows in batching.group_by_bucket(
+                est, self.frame_buckets
+            ):
+                rows_idx = jnp.asarray(rows)
+                audio, ylen = self._decode(
+                    self.params, enc, rows_idx, noise_scale,
+                    keys, sid, int(fbucket),
+                )
+                g_no = len(spec_audio)
+                spec_audio.append(audio)
+                spec_ylens.append(ylen)
+                cap = int(fbucket) * u
+                for row_i, row in enumerate(rows):
+                    spec_rows.append(
+                        (indices[row], cap, g_no, row_i, eg_no, row,
+                         lengths[indices[row]])
+                    )
+                    est_total += min(
+                        int(lengths[indices[row]] * rm * u) + 4 * u, cap
+                    )
+        r = len(spec_rows)
+        a0 = -(-2 * r // 128) * 128
+        q = self._PACK_QUANTUM
+        total = a0 + max(
+            q, -(-int(est_total * 1.12) // q) * q
+        )
+        packed = self._pack2(
+            tuple(spec_audio), tuple(spec_ylens), a0, total
+        )
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        return {
+            "spec": {
+                "packed": packed,
+                "a0": a0,
+                "total": total,
+                "rows": spec_rows,
+                "audio": spec_audio,
+                "encode_groups": encode_groups,
+                "noise_scale": noise_scale,
+            },
+            "decode_groups": [],
+            "packed": None,
+            "pack_rows": [],
+            "results": results,
+            "t0": t0,
+            "u": u,
+        }
+
+    def _collect_speculative(self, spec: dict, results, u) -> None:
+        flat = np.asarray(spec["packed"])
+        rows = spec["rows"]
+        r = len(rows)
+        hdr = flat[: 2 * r].astype(np.int32)
+        true_frames = (hdr[1::2] << 15) | (hdr[0::2] & 0x7FFF)
+        total = spec["total"]
+        out = spec["a0"]
+        # rows needing exact re-fetch: (list_pos, true_n)
+        refetch: List[Tuple[int, int]] = []
+        redecode: List[Tuple[int, int]] = []
+        for i, (res_idx, cap, g_no, row_i, eg_no, enc_row, id_len) in enumerate(
+            rows
+        ):
+            n_true = int(true_frames[i]) * u
+            valid = min(n_true, cap)
+            if n_true <= cap and out + valid <= total:
+                seg = flat[out : out + valid]
+                results[res_idx] = seg.astype(np.float32) / 32767.0
+            elif n_true <= cap:
+                refetch.append((i, n_true))
+            else:
+                redecode.append((i, int(true_frames[i])))
+            out += valid
+        for i, n_true in refetch:
+            res_idx, cap, g_no, row_i, *_ = rows[i]
+            seg = np.asarray(spec["audio"][g_no][row_i, :n_true])
+            results[res_idx] = seg.astype(np.float32) / 32767.0
+        if redecode:
+            _LOGGER.debug(
+                "speculative bucket overflow: re-decoding %d rows",
+                len(redecode),
+            )
+        for i, frames in redecode:
+            res_idx, cap, g_no, row_i, eg_no, enc_row, id_len = rows[i]
+            indices, enc, frames_dev, keys, sid = spec["encode_groups"][eg_no]
+            fbucket = batching.pick_bucket(
+                min(frames, max(self.frame_buckets)), self.frame_buckets
+            )
+            audio, _yl = self._decode(
+                self.params, enc, jnp.asarray([enc_row]),
+                spec["noise_scale"], keys, sid, int(fbucket),
+            )
+            n = min(frames, int(fbucket)) * u
+            seg = np.asarray(audio[0, :n])
+            results[res_idx] = seg.astype(np.float32) / 32767.0
+        # calibrate from the true counts
+        ratios = [
+            float(true_frames[i]) / rows[i][6]
+            for i in range(r)
+            if rows[i][6] > 0
+        ]
+        if ratios:
+            self._update_ratio(ratios)
+
     def collect(
         self, handle: dict, *, stats: Optional[SynthesisStats] = None
     ) -> List[np.ndarray]:
         """Wait for a submit()ted batch and return float32 waveforms."""
         results = handle["results"]
         u = handle["u"]
+        if handle.get("spec") is not None:
+            self._collect_speculative(handle["spec"], results, u)
         if handle.get("packed") is not None:
             flat = np.asarray(handle["packed"])
             if flat.dtype == np.int16:

@@ -168,3 +168,56 @@ def test_overlong_sentence_is_split(fixture_voice):
         assert audio.size > 0
     finally:
         voice.phonemizer = orig
+
+
+@pytest.fixture(scope="module")
+def fast_voice():
+    config = VoiceConfig.from_file(REF_CONFIG)
+    model_cfg = config.model_config()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    return TpuVoice(
+        params, model_cfg, config,
+        phonemizer=FixturePhonemizer(REF_JSONL),
+        seed=0,
+        precision="fast",
+        phoneme_buckets=[64, 128, 256, 512],
+        frame_buckets=[128, 256, 512, 1024, 2048],
+    )
+
+
+def test_speculative_matches_exact(fast_voice):
+    """Batch 1 runs the exact path (calibrates the frames-per-id
+    estimator); batch 2 runs the speculative path. Outputs must be
+    identical (counter-mode noise is frame-bucket-invariant)."""
+    recs = [json.loads(l) for l in open(REF_JSONL)][:6]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=3)
+    assert fast_voice._ratio is None
+    exact = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    assert fast_voice._ratio is not None
+    spec = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    for a, b in zip(exact, spec):
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_speculative_misprediction_recovery(fast_voice):
+    """Force the estimator wrong in both directions: tiny upper ratio
+    (bucket overflow -> re-decode) and tiny mean (packed-total
+    truncation -> direct re-fetch). Output must stay exact."""
+    recs = [json.loads(l) for l in open(REF_JSONL)][:5]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=9)
+    baseline = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+
+    # upper ratio far too small: every row overflows its bucket
+    fast_voice._ratio = (0.01, 0.01)
+    low = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    for a, b in zip(baseline, low):
+        np.testing.assert_array_equal(a, b)
+
+    # mean far too small with ample buckets: packed buffer truncates
+    fast_voice._ratio = (0.001, 50.0)
+    trunc = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    for a, b in zip(baseline, trunc):
+        np.testing.assert_array_equal(a, b)
