@@ -96,6 +96,20 @@ def main():
     voice.collect(handle)
     infer_sec = (time.perf_counter() - t0) / n_pipe
 
+    # Host-link diagnostic: the tunneled d2h link (10-50 MB/s,
+    # fluctuating) is the serving bottleneck in this environment —
+    # compute is fully hidden behind the transfer. Report the momentary
+    # link rate so throughput numbers can be normalized.
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x, s: (x + s).astype(jnp.int16))(
+        jnp.zeros((4 << 20,), jnp.int16), 1
+    )
+    probe.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(probe)
+    link_mbps = 8.0 / (time.perf_counter() - t0)
+
     n_chips = max(jax.device_count(), 1)
     value = audio_seconds / infer_sec / n_chips
     result = {
@@ -117,6 +131,7 @@ def main():
             "rtf": round(infer_sec / audio_seconds, 6),
             "p50_latency_per_batch_s": round(seq_sec, 4),
             "devices": n_chips,
+            "link_MBps": round(link_mbps, 1),
             "sequential_times": [round(t, 4) for t in times],
         }
         print(json.dumps(detail), file=sys.stderr)
