@@ -88,4 +88,81 @@ void pt_wav_header(uint8_t* out44, int32_t sample_rate, int32_t num_samples) {
   std::memcpy(out44 + 40, &data_bytes, 4);
 }
 
+// ---------------------------------------------------------------------------
+// Serving wire-path kernels (O(T) per request)
+// ---------------------------------------------------------------------------
+
+// int16 device output -> float32 waveform (collect() hot loop).
+void pt_int16_to_float(const int16_t* in, float* out, int64_t n,
+                       float scale) {
+  for (int64_t i = 0; i < n; ++i) out[i] = (float)in[i] * scale;
+}
+
+// G.711 mu-law encode, bit-exact with CPython audioop / sox
+// (Sun 14-bit formulation: >>2, clip 8159, bias 33). Counterpart of
+// runtime/codec.py mulaw_encode.
+void pt_mulaw_encode(const int16_t* in, uint8_t* out, int64_t n) {
+  static const int32_t seg_uend[8] = {0x3F,  0x7F,  0xFF,  0x1FF,
+                                      0x3FF, 0x7FF, 0xFFF, 0x1FFF};
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t x = ((int32_t)in[i]) >> 2;
+    int32_t mask = x < 0 ? 0x7F : 0xFF;
+    int32_t mag = x < 0 ? -x : x;
+    if (mag > 8159) mag = 8159;
+    mag += 33;
+    int seg = 8;
+    for (int s = 0; s < 8; ++s) {
+      if (mag <= seg_uend[s]) { seg = s; break; }
+    }
+    uint8_t u;
+    if (seg >= 8) {
+      u = 0x7F;
+    } else {
+      u = (uint8_t)((seg << 4) | ((mag >> (seg + 1)) & 0x0F));
+    }
+    out[i] = (uint8_t)((u ^ mask) & 0xFF);
+  }
+}
+
+// G.711 mu-law decode (256-entry table built on first call).
+void pt_mulaw_decode(const uint8_t* in, int16_t* out, int64_t n) {
+  static int16_t lut[256];
+  static bool init = false;
+  if (!init) {
+    for (int code = 0; code < 256; ++code) {
+      int u = ~code & 0xFF;
+      int exp = (u >> 4) & 0x07;
+      int mant = u & 0x0F;
+      int mag = (((mant << 3) + 0x84) << exp) - 0x84;
+      lut[code] = (int16_t)((u & 0x80) ? -mag : mag);
+    }
+    init = true;
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = lut[in[i]];
+}
+
+// float [-1,1] -> mu-law directly (streaming chunk encoder:
+// quantize to int16 then compand, fused single pass).
+void pt_float_to_mulaw(const float* in, uint8_t* out, int64_t n) {
+  static const int32_t seg_uend[8] = {0x3F,  0x7F,  0xFF,  0x1FF,
+                                      0x3FF, 0x7FF, 0xFFF, 0x1FFF};
+  for (int64_t i = 0; i < n; ++i) {
+    float v = in[i];
+    v = std::min(std::max(v, -1.0f), 1.0f) * 32767.0f;
+    int32_t x = ((int32_t)v) >> 2;
+    int32_t mask = x < 0 ? 0x7F : 0xFF;
+    int32_t mag = x < 0 ? -x : x;
+    if (mag > 8159) mag = 8159;
+    mag += 33;
+    int seg = 8;
+    for (int s = 0; s < 8; ++s) {
+      if (mag <= seg_uend[s]) { seg = s; break; }
+    }
+    uint8_t u = seg >= 8
+                    ? (uint8_t)0x7F
+                    : (uint8_t)((seg << 4) | ((mag >> (seg + 1)) & 0x0F));
+    out[i] = (uint8_t)((u ^ mask) & 0xFF);
+  }
+}
+
 }  // extern "C"

@@ -29,9 +29,15 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists() and (_CSRC / "Makefile").exists():
+        src = _CSRC / "piper_tpu_native.cpp"
+        stale = (
+            _LIB_PATH.exists()
+            and src.exists()
+            and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+        if (not _LIB_PATH.exists() or stale) and (_CSRC / "Makefile").exists():
             subprocess.run(
-                ["make", "-C", str(_CSRC)], check=True,
+                ["make", "-C", str(_CSRC), "clean", "all"], check=True,
                 capture_output=True, timeout=120,
             )
         if _LIB_PATH.exists():
@@ -54,6 +60,26 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.pt_wav_header.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32
             ]
+            for name, argtypes in (
+                ("pt_int16_to_float", [
+                    ctypes.POINTER(ctypes.c_int16),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.c_float,
+                ]),
+                ("pt_mulaw_encode", [
+                    ctypes.POINTER(ctypes.c_int16),
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ]),
+                ("pt_mulaw_decode", [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                ]),
+                ("pt_float_to_mulaw", [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ]),
+            ):
+                getattr(lib, name).argtypes = argtypes
             _lib = lib
     except Exception as e:  # pragma: no cover - toolchain-dependent
         _LOGGER.debug("native library unavailable: %s", e)
@@ -133,3 +159,63 @@ def wav_header(sample_rate: int, num_samples: int) -> bytes:
         sample_rate, num_samples,
     )
     return out.tobytes()
+
+
+def int16_to_float(pcm: np.ndarray, scale: float = 1.0 / 32767.0) -> np.ndarray:
+    """int16 -> float32 * scale (collect() wire-path hot loop)."""
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    lib = _load()
+    if lib is None or pcm.size == 0:
+        return pcm.astype(np.float32) * np.float32(scale)
+    out = np.empty(pcm.shape, np.float32)
+    lib.pt_int16_to_float(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pcm.size, ctypes.c_float(scale),
+    )
+    return out
+
+
+def mulaw_encode(pcm: np.ndarray) -> Optional[np.ndarray]:
+    """int16 -> G.711 mu-law codes; None when the library is absent
+    (callers fall back to the vectorized numpy codec)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    out = np.empty(pcm.shape, np.uint8)
+    lib.pt_mulaw_encode(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pcm.size,
+    )
+    return out
+
+
+def mulaw_decode(codes: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    out = np.empty(codes.shape, np.int16)
+    lib.pt_mulaw_decode(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        codes.size,
+    )
+    return out
+
+
+def float_to_mulaw(audio: np.ndarray) -> Optional[np.ndarray]:
+    """float [-1,1] -> mu-law codes in one fused pass."""
+    lib = _load()
+    if lib is None:
+        return None
+    audio = np.ascontiguousarray(audio, np.float32)
+    out = np.empty(audio.shape, np.uint8)
+    lib.pt_float_to_mulaw(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        audio.size,
+    )
+    return out

@@ -37,7 +37,14 @@ for _code in range(256):
 
 
 def mulaw_encode(pcm: np.ndarray) -> np.ndarray:
-    """int16 PCM -> uint8 G.711 mu-law codes (bit-exact with audioop)."""
+    """int16 PCM -> uint8 G.711 mu-law codes (bit-exact with audioop).
+
+    Uses the native C++ kernel (csrc) when built; numpy otherwise."""
+    from .. import native
+
+    out = native.mulaw_encode(np.asarray(pcm, np.int16))
+    if out is not None:
+        return out
     x = np.asarray(pcm, np.int32) >> 2
     mask = np.where(x < 0, 0x7F, 0xFF)
     mag = np.minimum(np.abs(x), _CLIP14) + _BIAS14
@@ -50,12 +57,22 @@ def mulaw_encode(pcm: np.ndarray) -> np.ndarray:
 
 def mulaw_decode(codes: np.ndarray) -> np.ndarray:
     """uint8 G.711 mu-law codes -> int16 PCM."""
+    from .. import native
+
+    out = native.mulaw_decode(np.asarray(codes, np.uint8))
+    if out is not None:
+        return out
     return _DECODE_LUT[np.asarray(codes, np.uint8)]
 
 
 def encode_float_mulaw(audio: np.ndarray) -> bytes:
     """float [-1, 1] audio -> mu-law bytes (fixed scaling, as used by
     the streaming paths where the global peak is unknown mid-stream)."""
+    from .. import native
+
+    out = native.float_to_mulaw(np.asarray(audio, np.float32))
+    if out is not None:
+        return out.tobytes()
     pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
     return mulaw_encode(pcm).tobytes()
 

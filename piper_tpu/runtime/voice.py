@@ -39,6 +39,7 @@ from ..models.vits import model as M
 from ..text.phonemes import phonemes_to_ids
 from ..text.phonemize import phonemize
 from . import batching
+from .. import native
 from .wav import audio_float_to_int16
 
 _LOGGER = logging.getLogger(__name__)
@@ -752,7 +753,7 @@ class TpuVoice:
             valid = min(n_true, cap)
             if n_true <= cap and out + valid <= total:
                 seg = flat[out : out + valid]
-                results[res_idx] = seg.astype(np.float32) / 32767.0
+                results[res_idx] = native.int16_to_float(seg)
             elif n_true <= cap:
                 refetch.append((i, n_true))
             else:
@@ -761,7 +762,7 @@ class TpuVoice:
         for i, n_true in refetch:
             res_idx, cap, g_no, row_i, *_ = rows[i]
             seg = np.asarray(spec["audio"][g_no][row_i, :n_true])
-            results[res_idx] = seg.astype(np.float32) / 32767.0
+            results[res_idx] = native.int16_to_float(seg)
         if redecode:
             _LOGGER.debug(
                 "speculative bucket overflow: re-decoding %d rows",
@@ -779,7 +780,7 @@ class TpuVoice:
             )
             n = min(frames, int(fbucket)) * u
             seg = np.asarray(audio[0, :n])
-            results[res_idx] = seg.astype(np.float32) / 32767.0
+            results[res_idx] = native.int16_to_float(seg)
         # calibrate from the true counts
         ratios = [
             float(true_frames[i]) / rows[i][6]
@@ -800,7 +801,7 @@ class TpuVoice:
         if handle.get("packed") is not None:
             flat = np.asarray(handle["packed"])
             if flat.dtype == np.int16:
-                flat = flat.astype(np.float32) / 32767.0
+                flat = native.int16_to_float(flat)
             else:
                 flat = flat.astype(np.float32)
             for res_idx, out_start, n in handle["pack_rows"]:
@@ -808,7 +809,7 @@ class TpuVoice:
         for indices, rows, frames, audio in handle["decode_groups"]:
             audio_np = np.asarray(audio)
             if audio_np.dtype == np.int16:
-                audio_np = audio_np.astype(np.float32) / 32767.0
+                audio_np = native.int16_to_float(audio_np)
             else:
                 audio_np = audio_np.astype(np.float32)
             for row_i, row in enumerate(rows):
