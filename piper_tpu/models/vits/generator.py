@@ -180,9 +180,16 @@ def prepare_tm(dec_params: Params, cfg: ModelConfig, dtype=jnp.bfloat16) -> Para
 
     ks = tuple(cfg.resblock_kernel_sizes)
     ds = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+    start = _tm_start_stage(cfg)
     ups = []
     mrf = []
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        if i < start:
+            # stage runs in NWC XLA (see generator_tm_apply); no
+            # derived weights needed
+            ups.append(None)
+            mrf.append(None)
+            continue
         kern = np.asarray(dec_params["ups"][i]["w"], np.float32)
         q0, used, idx = _tm_phase_plan(k, u)
         w = np.zeros(used.shape + kern.shape[1:], np.float32)
@@ -197,6 +204,29 @@ def prepare_tm(dec_params: Params, cfg: ModelConfig, dtype=jnp.bfloat16) -> Para
             )
         )
     return {"ups": ups, "mrf": mrf}
+
+
+def _tm_start_stage(cfg: ModelConfig) -> int:
+    """First upsample stage to run time-major: the fused MRF kernel
+    keeps its packed (n_convs, k_max, C, C) weights in VMEM, so wide
+    early stages (e.g. the high voice's 256-ch stage 0, 26 MB packed)
+    stay on the XLA NWC path, which is also faster there (channel dim
+    fills the 128-lane axis)."""
+    from ...ops.pallas.vocoder import mrf_weight_bytes
+
+    uic = cfg.upsample_initial_channel
+    for i in range(len(cfg.upsample_rates)):
+        c_out = uic // (2 ** (i + 1))
+        if (
+            c_out <= 128
+            and mrf_weight_bytes(
+                c_out, cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes, cfg.resblock,
+            )
+            <= 8 * 1024 * 1024
+        ):
+            return i
+    return len(cfg.upsample_rates)
 
 
 def _tconv_tm(x_tm, w_phase, q0, used, bias):
@@ -240,17 +270,45 @@ def generator_tm_apply(
 
     ks = tuple(cfg.resblock_kernel_sizes)
     ds = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+    start = _tm_start_stage(cfg)
     x = L.conv(p["conv_pre"], x, padding=3)
     if g is not None:
         x = x + L.dense(p["cond"], g[:, None, :])
-    x = jnp.transpose(x, (0, 2, 1))  # (B, C, T)
     lens = frame_lengths.astype(jnp.int32)
-    # Zero invalid frames: the first polyphase conv reads one frame
-    # ahead (q=+1) and conv_pre left bias/garbage there; later stages
+    # Zero invalid frames (the reference applies x_mask here): leading
+    # NWC stages and the first polyphase conv (reads one frame ahead,
+    # q=+1) must see exact zeros past each row's end; later tm stages
     # are cleaned by the Pallas kernel's length masking.
-    pos = jnp.arange(x.shape[2], dtype=jnp.int32)
-    x = jnp.where(pos[None, None, :] < lens[:, None, None], x, 0)
-    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+    num_kernels = len(ks)
+    mask = (
+        jnp.arange(x.shape[1], dtype=jnp.int32)[None, :, None]
+        < lens[:, None, None]
+    ).astype(x.dtype)
+    x = x * mask
+    for i in range(start):
+        # wide early stages: XLA NWC (channel dim fills the lanes; the
+        # fused kernel's packed weights would not fit VMEM here)
+        u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
+        x = tnn.leaky_relu(x, LRELU_SLOPE)
+        x = tnn.conv1d_transpose(
+            x, p["ups"][i]["w"].astype(x.dtype), p["ups"][i]["b"],
+            stride=u, padding=(k - u) // 2,
+        )
+        lens = lens * u
+        mask = jnp.repeat(mask, u, axis=1)
+        x = x * mask
+        xs = None
+        for j in range(num_kernels):
+            r = resblock_apply(
+                p["resblocks"][i][j], x, mask,
+                kernel_size=ks[j], dilations=ds[j],
+                resblock_type=cfg.resblock,
+            )
+            xs = r if xs is None else xs + r
+        x = xs / num_kernels
+    x = jnp.transpose(x, (0, 2, 1))  # (B, C, T)
+    for i in range(start, len(cfg.upsample_rates)):
+        u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
         x = tnn.leaky_relu(x, LRELU_SLOPE)
         q0, used, _ = _tm_phase_plan(k, u)
         x = _tconv_tm(x, tm["ups"][i], q0, used, p["ups"][i]["b"])

@@ -241,7 +241,19 @@ def mrf_fused(
     b, c, t = x_tm.shape
     # VMEM budget: the unrolled conv chain keeps ~10 live (C, width)
     # buffers (bf16 + f32 accumulators); keep C * t_tile ~ 128K elems.
-    t_tile = min(t_tile, max(512, (131072 // max(c, 32)) // 128 * 128))
+    # VMEM fit: the packed weights live wholly in VMEM alongside the
+    # tap scratch ((k_max*C, W)), the window, and ~12 live chain
+    # buffers ((C, W) each). Solve the lane budget for t_tile; callers
+    # must not use this kernel when the weights alone exceed VMEM
+    # (mrf_weight_bytes below).
+    # Empirical live-buffer model: Mosaic's scoped VMEM for this body
+    # is ~(k_max + 30) C-rows per output lane (measured 20.1 MB at
+    # C=128, k=7, width 2138).
+    w_bytes = int(np.prod(packed_w.shape)) * 2
+    per_lane = (packed_w.shape[1] + 30) * c * 2
+    avail = 13 * 1024 * 1024 - w_bytes
+    cap = (avail // per_lane - 2 * halo) // 128 * 128
+    t_tile = min(t_tile, max(256, cap))
     t_tile = min(t_tile, -(-t // 128) * 128)
     # window assembly needs the right halo to fit in the next tile, and
     # Mosaic needs 128-aligned lane blocks
@@ -303,3 +315,13 @@ def mrf_fused(
         interpret=interpret,
     )(lengths.astype(jnp.int32), x_shifted, x_shifted, packed_w, packed_b)
     return out[:, :, :t]
+
+
+def mrf_weight_bytes(c: int, kernel_sizes, dilation_sizes, resblock_type: str) -> int:
+    """VMEM bytes the packed (n_convs, k_max, C, C) bf16 weights need —
+    callers route stages whose table can't fit (plus working buffers)
+    to the XLA path instead."""
+    n_convs = sum(
+        (2 if resblock_type == "1" else 1) * len(d) for d in dilation_sizes
+    )
+    return n_convs * max(kernel_sizes) * c * c * 2
