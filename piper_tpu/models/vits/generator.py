@@ -266,7 +266,9 @@ def generator_tm_apply(
 ) -> jnp.ndarray:
     """Time-major generator. x: (B, T_frames, C) pre-masked latent;
     frame_lengths: (B,) int32 valid frames. Returns (B, T*u_total)."""
-    from ...ops.pallas.vocoder import mrf_fused
+    from ...ops.pallas.vocoder import (
+        fused_stage_vmem_ok, fused_upsample_mrf, mrf_fused,
+    )
 
     ks = tuple(cfg.resblock_kernel_sizes)
     ds = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
@@ -307,10 +309,37 @@ def generator_tm_apply(
             xs = r if xs is None else xs + r
         x = xs / num_kernels
     x = jnp.transpose(x, (0, 2, 1))  # (B, C, T)
-    for i in range(start, len(cfg.upsample_rates)):
+    n_stages = len(cfg.upsample_rates)
+    last = n_stages - 1
+    # Final stage + conv_post as ONE fused Pallas pass when it fits VMEM
+    # (phase-plane kernel: no interleave materialization, no 7x re-read
+    # of the full-rate activation by conv_post). Static decision from cfg.
+    use_fused_last = False
+    if last >= start:
+        u_l, k_l = cfg.upsample_rates[last], cfg.upsample_kernel_sizes[last]
+        _, used_l, _ = _tm_phase_plan(k_l, u_l)
+        uic = cfg.upsample_initial_channel
+        use_fused_last = fused_stage_vmem_ok(
+            uic // (2 ** last), uic // (2 ** (last + 1)), u_l,
+            used_l.shape[1], ks, ds, cfg.resblock,
+        )
+    for i in range(start, n_stages):
         u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
-        x = tnn.leaky_relu(x, LRELU_SLOPE)
         q0, used, _ = _tm_phase_plan(k, u)
+        if i == last and use_fused_last:
+            b = x.shape[0]
+            v_in = x.shape[2]
+            pw, pb = tm["mrf"][i]
+            planes = fused_upsample_mrf(
+                x, lens * u, tm["ups"][i], p["ups"][i]["b"], pw, pb,
+                p["conv_post"]["w"], u=u, q0=q0, kernel_sizes=ks,
+                dilation_sizes=ds, resblock_type=cfg.resblock, post=True,
+                interpret=interpret,
+            )  # (B, u, Vpad)
+            vpad = planes.shape[2]
+            wav = jnp.transpose(planes, (0, 2, 1)).reshape(b, vpad * u)
+            return wav[:, : v_in * u]
+        x = tnn.leaky_relu(x, LRELU_SLOPE)
         x = _tconv_tm(x, tm["ups"][i], q0, used, p["ups"][i]["b"])
         lens = lens * u
         pw, pb = tm["mrf"][i]

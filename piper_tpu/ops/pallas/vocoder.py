@@ -28,7 +28,7 @@ matrix so the kernel signature is static across stages.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -325,3 +325,357 @@ def mrf_weight_bytes(c: int, kernel_sizes, dilation_sizes, resblock_type: str) -
         (2 if resblock_type == "1" else 1) * len(d) for d in dilation_sizes
     )
     return n_convs * max(kernel_sizes) * c * c * 2
+
+
+# ---------------------------------------------------------------------------
+# Fully fused upsample stage: lrelu -> ConvTranspose1d -> MRF [-> conv_post]
+#
+# The interleave problem: a transposed conv's u polyphase outputs must be
+# merged sample-interleaved (out[u*w+p] = phase_p[w]), but Mosaic has no
+# lane-expand/shuffle primitive and XLA materializes the strided merge at
+# 6-12x bandwidth cost right at the Pallas input boundary (measured: the
+# medium voice's last stage spent 8-9 ms interleaving 268 MB, then 5.7 ms
+# re-reading it 7x for conv_post).
+#
+# Resolution: never interleave. Inside the kernel the activation lives
+# PHASE-BLOCKED on lanes: A = (C, u*Wp) with plane p in lanes
+# [p*Wp, (p+1)*Wp), where plane p holds the samples t === p (mod u) of the
+# tile (w indexes frames, t = u*(w + tile_origin - Hp) + p). Each plane
+# carries its own halo Hp = ceil(true_halo / u) + 1, so a true-time shift
+# by o becomes a STATIC (source-plane p' = (p-o) mod u, lane-shift
+# floor((p-o)/u)) block copy — the same bytes the interleaved kernel
+# copies, re-indexed. Every MRF conv is still ONE tap-packed MXU matmul
+# of identical shape ((k*C, u*Wp) @ (k*C, C)); only the tap-assembly
+# copy table changes. The final conv_post consumes the planes the same
+# way and emits u single-channel waveform planes; the only interleave
+# left is the (B, u, V) -> (B, V*u) transpose of the int-ready waveform
+# in XLA — 2 bytes/sample instead of 2*C.
+# ---------------------------------------------------------------------------
+
+
+def _fused_stage_kernel(
+    # prefetch
+    lengths_ref,  # (B,) int32 valid OUTPUT samples per row
+    # inputs
+    x_curr_ref,  # (1, C_in, Vt) tile i of halo-pre-shifted input frames
+    x_next_ref,  # (1, C_in, Vt) tile i+1 (right halo)
+    wt_ref,  # (u, nq*C_in, C_out) packed polyphase taps
+    bt_ref,  # (C_out, 1) f32 tconv bias
+    wm_ref,  # (n_convs, k_max*C, C) packed MRF weights
+    bm_ref,  # (n_convs, C, 1) f32 MRF biases
+    wp_ref,  # (1, k_post*C) conv_post weights (zeros row when post=False)
+    # outputs
+    out_ref,  # post: (1, u, Vt) waveform planes; else (1, C_out, u*Vt)
+    # scratch
+    win_ref,  # (C_in, Wi) input window
+    tapin_ref,  # (nq*C_in, Wi) tconv tap stack
+    a_ref,  # (C_out, u*Wp) phase-blocked activation
+    tap_ref,  # (k_max*C_out, u*Wp) MRF tap stack
+    mask_ref,  # (1, u*Wp) f32 out-validity (1.0 valid / 0.0 invalid)
+    *,
+    blocks: List[List[Tuple[int, int]]],
+    u: int,
+    q0: int,
+    nq: int,
+    hp: int,
+    h_in: int,
+    t_tile: int,  # frames per tile (Vt)
+    c_in: int,
+    c_out: int,
+    post: bool,
+    acc_dtype,
+):
+    b_idx = pl.program_id(0)
+    tile_idx = pl.program_id(1)
+    wi = t_tile + 2 * h_in
+    wp = t_tile + 2 * hp
+    out_len = lengths_ref[b_idx]
+    in_len = out_len // u
+    v0 = tile_idx * t_tile  # global frame index of tile column 0
+
+    # ---- input window: frames [v0 - h_in, v0 + Vt + h_in) ----
+    win_ref[:, :t_tile] = x_curr_ref[0]
+    win_ref[:, t_tile:] = x_next_ref[0, :, : 2 * h_in]
+    pos_in = jax.lax.broadcasted_iota(jnp.int32, (1, wi), 1) + (v0 - h_in)
+    valid_in = (pos_in >= 0) & (pos_in < in_len)
+    x = jnp.where(valid_in, win_ref[...], 0.0)
+    slope = jnp.asarray(LRELU_SLOPE, x.dtype)
+    x = jnp.maximum(x, 0) + slope * jnp.minimum(x, 0)
+
+    # ---- polyphase transposed conv -> phase planes ----
+    for qi in range(nq):
+        shift = q0 + qi
+        if shift == 0:
+            seg = x
+        elif shift > 0:
+            seg = jnp.pad(x, ((0, 0), (0, shift)))[:, shift:]
+        else:
+            seg = jnp.pad(x, ((0, 0), (-shift, 0)))[:, :wi]
+        tapin_ref[qi * c_in : (qi + 1) * c_in, :] = seg
+    taps_in = tapin_ref[...]
+    # out-validity per plane: t = u*(v0 - hp + j) + p for lane p*Wp + j
+    for p in range(u):
+        ph = jax.lax.dot_general(
+            wt_ref[p].astype(x.dtype), taps_in,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        ph = ph + bt_ref[...].astype(acc_dtype)
+        # frame j of the plane corresponds to window column h_in - hp + j
+        a_ref[:, p * wp : (p + 1) * wp] = ph[:, h_in - hp : h_in - hp + wp].astype(
+            x.dtype
+        )
+        pos_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1) + (v0 - hp)
+        ) * u + p
+        mask_ref[:, p * wp : (p + 1) * wp] = jnp.where(
+            (pos_t >= 0) & (pos_t < out_len), 1.0, 0.0
+        )
+
+    valid = mask_ref[...] > 0.5  # (1, u*Wp)
+    x = jnp.where(valid, a_ref[...], 0.0)
+
+    def lrelu(v):
+        s = jnp.asarray(LRELU_SLOPE, v.dtype)
+        return jnp.maximum(v, 0) + s * jnp.minimum(v, 0)
+
+    def plane_shift(h, p_src: int, delta: int):
+        """Plane block p_src of h, lane-shifted by delta (zero fill)."""
+        blk = h[:, p_src * wp : (p_src + 1) * wp]
+        if delta == 0:
+            return blk
+        if delta > 0:
+            return jnp.pad(blk, ((0, 0), (0, delta)))[:, delta:]
+        return jnp.pad(blk, ((0, 0), (-delta, 0)))[:, :wp]
+
+    def conv_step(h, conv_idx, k, d):
+        """True-time dilated conv on phase-blocked layout: per (plane,
+        tap) a static block copy, then ONE tap-packed MXU matmul."""
+        pad = (k * d - d) // 2
+        for kk in range(k):
+            o = kk * d - pad
+            for p in range(u):
+                # out time t = u*w + p reads source t + o = u*(w + delta) + p_src
+                p_src = (p + o) % u
+                delta = (p + o - p_src) // u
+                tap_ref[
+                    kk * c_out : (kk + 1) * c_out, p * wp : (p + 1) * wp
+                ] = plane_shift(h, p_src, delta)
+        stacked = tap_ref[: k * c_out, :]
+        w_all = wm_ref[conv_idx, : k * c_out].astype(h.dtype)
+        acc = jax.lax.dot_general(
+            w_all, stacked,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        acc = acc + bm_ref[conv_idx].astype(acc_dtype)
+        return acc.astype(h.dtype)
+
+    conv_idx = 0
+    xs = None
+    for steps in blocks:
+        h = x
+        if len(steps) and _is_resblock1(steps):
+            for i in range(0, len(steps), 2):
+                k1, d1 = steps[i]
+                k2, d2 = steps[i + 1]
+                ht = lrelu(h)
+                ht = jnp.where(valid, ht, 0.0)
+                ht = conv_step(ht, conv_idx, k1, d1)
+                conv_idx += 1
+                ht = lrelu(ht)
+                ht = jnp.where(valid, ht, 0.0)
+                ht = conv_step(ht, conv_idx, k2, d2)
+                conv_idx += 1
+                h = ht + h
+        else:
+            for k, d in steps:
+                ht = lrelu(h)
+                ht = jnp.where(valid, ht, 0.0)
+                ht = conv_step(ht, conv_idx, k, d)
+                conv_idx += 1
+                h = ht + h
+        h = jnp.where(valid, h, 0.0)
+        xs = h if xs is None else xs + h
+
+    out = (xs / len(blocks)).astype(x.dtype)
+
+    if not post:
+        for p in range(u):
+            out_ref[0, :, p * t_tile : (p + 1) * t_tile] = out[
+                :, p * wp + hp : p * wp + hp + t_tile
+            ]
+        return
+
+    # conv_post (k=7, C -> 1, no bias) + tanh on the planes
+    s = jnp.asarray(0.01, out.dtype)
+    g = jnp.maximum(out, 0) + s * jnp.minimum(out, 0)
+    g = jnp.where(valid, g, 0.0)
+    k_post = wp_ref.shape[1] // c_out
+    pad = (k_post - 1) // 2
+    for kk in range(k_post):
+        o = kk - pad
+        for p in range(u):
+            p_src = (p + o) % u
+            delta = (p + o - p_src) // u
+            tap_ref[
+                kk * c_out : (kk + 1) * c_out, p * wp : (p + 1) * wp
+            ] = plane_shift(g, p_src, delta)
+    y = jax.lax.dot_general(
+        wp_ref[...].astype(g.dtype), tap_ref[: k_post * c_out, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # (1, u*Wp)
+    y = jnp.tanh(y) * mask_ref[...].astype(acc_dtype)
+    y = y.astype(out_ref.dtype)
+    for p in range(u):
+        out_ref[0, p : p + 1, :] = y[:, p * wp + hp : p * wp + hp + t_tile]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "u", "q0", "kernel_sizes", "dilation_sizes", "resblock_type",
+        "post", "t_tile", "interpret",
+    ),
+)
+def fused_upsample_mrf(
+    x_tm: jnp.ndarray,  # (B, C_in, V) time-major stage input (pre-lrelu)
+    lengths: jnp.ndarray,  # (B,) int32 valid OUTPUT samples (in_frames * u)
+    wt: jnp.ndarray,  # (u, nq, C_in, C_out) polyphase taps (zeros unused)
+    bt: jnp.ndarray,  # (C_out,) tconv bias
+    wm: jnp.ndarray,  # (n_convs, k_max, C_out, C_out) packed MRF weights
+    bm: jnp.ndarray,  # (n_convs, C_out, 1) MRF biases
+    wpost: Optional[jnp.ndarray],  # (k_post, C_out, 1) conv_post or None
+    *,
+    u: int,
+    q0: int,
+    kernel_sizes: Tuple[int, ...],
+    dilation_sizes: Tuple[Tuple[int, ...], ...],
+    resblock_type: str,
+    post: bool = False,
+    t_tile: int = 1024,
+    interpret: bool = False,
+):
+    """One HiFiGAN upsample stage in a single Pallas pass.
+
+    Returns (B, u, Vpad) waveform phase planes when post=True (caller
+    interleaves: transpose + reshape of 2 bytes/sample), else
+    (B, C_out, u*Vpad) with per-TILE phase-blocked lanes (testing only).
+    Vpad = ceil(V / t_tile) * t_tile.
+    """
+    blocks, true_halo = _stage_plan(kernel_sizes, dilation_sizes, resblock_type)
+    b, c_in, v = x_tm.shape
+    nq = wt.shape[1]
+    c_out = wt.shape[3]
+    k_post = wpost.shape[0] if post else 0
+    if post:
+        true_halo += (k_post - 1) // 2
+    hp = -(-true_halo // u) + 1
+    h_in = hp + max(-q0, q0 + nq - 1)
+
+    # VMEM-fit the frame tile: live buffers scale with u*Wp lanes at
+    # C_out rows (chain + tap stack) plus the input window at C_in.
+    # The tap stack is shared by the MRF convs and the conv_post
+    # epilogue, so size it for the larger of the two kernels.
+    k_max = max(wm.shape[1], k_post)
+    esize = jnp.dtype(x_tm.dtype).itemsize
+    w_bytes = (
+        int(np.prod(wt.shape)) + int(np.prod(wm.shape)) + k_post * c_out
+    ) * esize
+    per_frame = ((k_max + 14) * c_out * u + (nq + 3) * c_in) * esize
+    avail = 12 * 1024 * 1024 - w_bytes
+    cap = max(128, (avail // per_frame - 2 * hp) // 128 * 128)
+    t_tile = min(t_tile, cap, -(-v // 128) * 128)
+    t_tile = max(t_tile, -(-2 * h_in // 128) * 128)
+    n_tiles = pl.cdiv(v, t_tile)
+    v_padded = n_tiles * t_tile
+    if v_padded != v:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, v_padded - v)))
+
+    wi = t_tile + 2 * h_in
+    wp_lanes = t_tile + 2 * hp
+    assert 2 * h_in <= t_tile, "input halo larger than half a tile"
+    x_shifted = jnp.pad(
+        x_tm, ((0, 0), (0, 0), (h_in, (n_tiles + 1) * t_tile - v_padded - h_in))
+    )
+
+    wdt = x_tm.dtype
+    wt_packed = wt.reshape(u, nq * c_in, c_out).astype(wdt)
+    wm_packed = wm.reshape(wm.shape[0], wm.shape[1] * c_out, c_out).astype(wdt)
+    if post:
+        wp_packed = wpost.reshape(1, k_post * c_out).astype(wdt)
+    else:
+        wp_packed = jnp.zeros((1, c_out), wdt)
+
+    kernel = functools.partial(
+        _fused_stage_kernel,
+        blocks=blocks, u=u, q0=q0, nq=nq, hp=hp, h_in=h_in,
+        t_tile=t_tile, c_in=c_in, c_out=c_out, post=post,
+        acc_dtype=jnp.float32,
+    )
+    if post:
+        out_shape = jax.ShapeDtypeStruct((b, u, v_padded), x_tm.dtype)
+        out_spec = pl.BlockSpec(
+            (1, u, t_tile), lambda bi, ti, lens: (bi, 0, ti),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, c_out, u * v_padded), x_tm.dtype)
+        out_spec = pl.BlockSpec(
+            (1, c_out, u * t_tile), lambda bi, ti, lens: (bi, 0, ti),
+            memory_space=pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_tiles),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, c_in, t_tile), lambda bi, ti, lens: (bi, 0, ti),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, c_in, t_tile), lambda bi, ti, lens: (bi, 0, ti + 1),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((c_in, wi), x_tm.dtype),
+                pltpu.VMEM((nq * c_in, wi), x_tm.dtype),
+                pltpu.VMEM((c_out, u * wp_lanes), x_tm.dtype),
+                pltpu.VMEM((k_max * c_out, u * wp_lanes), x_tm.dtype),
+                pltpu.VMEM((1, u * wp_lanes), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        lengths.astype(jnp.int32), x_shifted, x_shifted,
+        wt_packed, bt.reshape(c_out, 1).astype(jnp.float32),
+        wm_packed, bm.astype(jnp.float32), wp_packed,
+    )
+
+
+def fused_stage_vmem_ok(
+    c_in: int, c_out: int, u: int, nq: int,
+    kernel_sizes, dilation_sizes, resblock_type: str,
+) -> bool:
+    """Whether the fused stage kernel fits VMEM with a reasonable tile."""
+    n_convs = sum(
+        (2 if resblock_type == "1" else 1) * len(d) for d in dilation_sizes
+    )
+    k_max = max(max(kernel_sizes), 7)  # tap scratch also serves conv_post
+    w_bytes = (
+        u * nq * c_in * c_out + n_convs * max(kernel_sizes) * c_out * c_out
+    ) * 2
+    per_frame = ((k_max + 14) * c_out * u + (nq + 3) * c_in) * 2
+    return w_bytes + 256 * per_frame <= 12 * 1024 * 1024

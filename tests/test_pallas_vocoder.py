@@ -156,3 +156,104 @@ def test_tconv_tm_matches_conv1d_transpose():
             np.asarray(jnp.transpose(got, (0, 2, 1))), np.asarray(ref),
             atol=1e-5, rtol=1e-5,
         )
+
+
+@pytest.mark.parametrize(
+    "u,k,c_in,c_out,rb,post,lengths",
+    [
+        (4, 8, 64, 32, "2", True, None),
+        (4, 8, 64, 32, "2", False, None),
+        (8, 16, 64, 32, "2", False, None),
+        (8, 16, 32, 16, "2", True, [256 * 8, 1024, 520]),
+        (2, 4, 32, 16, "1", True, None),
+        (4, 8, 48, 24, "2", True, [992, 256 * 4, 4]),
+    ],
+)
+def test_fused_upsample_mrf_matches_xla(u, k, c_in, c_out, rb, post, lengths):
+    """Fused stage kernel (lrelu -> polyphase tconv -> MRF [-> conv_post])
+    vs the composed XLA ops, interpret mode, ragged lengths included."""
+    from piper_tpu.ops import nn as tnn
+    from piper_tpu.ops.pallas.vocoder import fused_upsample_mrf
+
+    if rb == "1":
+        ks = (3, 7, 11)
+        ds = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    else:
+        ks = (3, 5, 7)
+        ds = ((1, 2), (2, 6), (3, 12))
+
+    rng = jax.random.PRNGKey(0)
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+    B, V = 3, 256
+    x = jax.random.normal(r1, (B, c_in, V), jnp.float32)
+    lens_out = jnp.asarray(lengths if lengths else [V * u] * B, jnp.int32)
+    wt_full = 0.1 * jax.random.normal(r2, (k, c_in, c_out), jnp.float32)
+    bt = 0.1 * jax.random.normal(r3, (c_out,), jnp.float32)
+    blocks = [
+        G.init_resblock(jax.random.fold_in(r4, j), c_out, ks[j], ds[j], rb)
+        for j in range(len(ks))
+    ]
+    wpost = 0.3 * jax.random.normal(
+        jax.random.fold_in(r4, 99), (7, c_out, 1), jnp.float32
+    )
+
+    lens_in = lens_out // u
+    mask_in = (
+        jnp.arange(V)[None, :, None] < lens_in[:, None, None]
+    ).astype(jnp.float32)
+
+    # reference: composed XLA NWC ops
+    y = jnp.transpose(x, (0, 2, 1)) * mask_in
+    y = tnn.leaky_relu(y, 0.1) * mask_in
+    y = tnn.conv1d_transpose(y, wt_full, bt, stride=u, padding=(k - u) // 2)
+    mask = (
+        jnp.arange(V * u)[None, :, None] < lens_out[:, None, None]
+    ).astype(jnp.float32)
+    y = y * mask
+    xs = None
+    for j in range(len(ks)):
+        r = resblock_apply(
+            blocks[j], y, mask, kernel_size=ks[j], dilations=ds[j],
+            resblock_type=rb,
+        )
+        xs = r if xs is None else xs + r
+    y = xs / len(ks)
+    if post:
+        y = tnn.leaky_relu(y, 0.01) * mask
+        acc = jnp.zeros((B, V * u), jnp.float32)
+        yp = jnp.pad(y, ((0, 0), (3, 3), (0, 0)))
+        for tau in range(7):
+            acc = acc + jnp.einsum(
+                "btc,c->bt", yp[:, tau : tau + V * u], wpost[tau, :, 0]
+            )
+        ref = jnp.tanh(acc) * mask[..., 0]
+    else:
+        ref = jnp.transpose(y, (0, 2, 1))
+
+    # fused kernel
+    q0, used, idx = G._tm_phase_plan(k, u)
+    nq = used.shape[1]
+    kern = np.asarray(wt_full)
+    wt = np.zeros((u, nq, c_in, c_out), np.float32)
+    for p in range(u):
+        for qi in range(nq):
+            if used[p, qi]:
+                wt[p, qi] = kern[idx[p, qi]]
+    wm, bm = pack_stage_weights(blocks, ks, ds, rb, dtype=jnp.float32)
+    out = fused_upsample_mrf(
+        (x * jnp.transpose(mask_in, (0, 2, 1))).astype(jnp.float32),
+        lens_out, jnp.asarray(wt), bt, wm, bm, wpost if post else None,
+        u=u, q0=q0, kernel_sizes=ks, dilation_sizes=ds, resblock_type=rb,
+        post=post, t_tile=128, interpret=True,
+    )
+    if post:
+        vpad = out.shape[2]
+        got = jnp.transpose(out, (0, 2, 1)).reshape(B, vpad * u)[:, : V * u]
+    else:
+        vpad = out.shape[2] // u
+        n_tiles = vpad // 128
+        o = out.reshape(B, c_out, n_tiles, u, 128)
+        got = jnp.transpose(o, (0, 1, 2, 4, 3)).reshape(B, c_out, vpad * u)[
+            :, :, : V * u
+        ]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
