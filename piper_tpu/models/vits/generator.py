@@ -229,6 +229,36 @@ def _tm_start_stage(cfg: ModelConfig) -> int:
     return len(cfg.upsample_rates)
 
 
+def _fused_suffix_start(cfg: ModelConfig, start: int) -> int:
+    """First stage of the trailing run that executes as chained fused
+    phase-plane kernels (ops/pallas/vocoder.fused_upsample_mrf): the
+    smallest f >= start such that every stage in [f, n) fits VMEM with
+    its compound plane count. Returns n when no suffix qualifies."""
+    from ...ops.pallas.vocoder import fused_stage_vmem_ok
+
+    ks = cfg.resblock_kernel_sizes
+    ds = cfg.resblock_dilation_sizes
+    uic = cfg.upsample_initial_channel
+    n = len(cfg.upsample_rates)
+    for f in range(start, n):
+        u_in = 1
+        ok = True
+        for j in range(f, n):
+            u_j = cfg.upsample_rates[j]
+            k_j = cfg.upsample_kernel_sizes[j]
+            _, used_j, _ = _tm_phase_plan(k_j, u_j)
+            if not fused_stage_vmem_ok(
+                uic // (2 ** j), uic // (2 ** (j + 1)), u_j,
+                used_j.shape[1], ks, ds, cfg.resblock, u_in=u_in,
+            ):
+                ok = False
+                break
+            u_in *= u_j
+        if ok:
+            return f
+    return n
+
+
 def _tconv_tm(x_tm, w_phase, q0, used, bias):
     """Polyphase time-major transposed conv: (B, C_in, V) -> (B, C_out, V*u)."""
     uph, nq = used.shape
@@ -266,9 +296,7 @@ def generator_tm_apply(
 ) -> jnp.ndarray:
     """Time-major generator. x: (B, T_frames, C) pre-masked latent;
     frame_lengths: (B,) int32 valid frames. Returns (B, T*u_total)."""
-    from ...ops.pallas.vocoder import (
-        fused_stage_vmem_ok, fused_upsample_mrf, mrf_fused,
-    )
+    from ...ops.pallas.vocoder import fused_upsample_mrf, mrf_fused
 
     ks = tuple(cfg.resblock_kernel_sizes)
     ds = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
@@ -310,35 +338,15 @@ def generator_tm_apply(
         x = xs / num_kernels
     x = jnp.transpose(x, (0, 2, 1))  # (B, C, T)
     n_stages = len(cfg.upsample_rates)
-    last = n_stages - 1
-    # Final stage + conv_post as ONE fused Pallas pass when it fits VMEM
-    # (phase-plane kernel: no interleave materialization, no 7x re-read
-    # of the full-rate activation by conv_post). Static decision from cfg.
-    use_fused_last = False
-    if last >= start:
-        u_l, k_l = cfg.upsample_rates[last], cfg.upsample_kernel_sizes[last]
-        _, used_l, _ = _tm_phase_plan(k_l, u_l)
-        uic = cfg.upsample_initial_channel
-        use_fused_last = fused_stage_vmem_ok(
-            uic // (2 ** last), uic // (2 ** (last + 1)), u_l,
-            used_l.shape[1], ks, ds, cfg.resblock,
-        )
-    for i in range(start, n_stages):
+    # Fused suffix: the trailing run of stages (incl. conv_post) executes
+    # as chained phase-plane Pallas kernels — no interleave ever
+    # materializes; stage j's sublane-plane output feeds stage j+1
+    # directly, and only the final (B, U, V) waveform planes get a cheap
+    # 2-bytes/sample XLA transpose. Static decision from cfg.
+    fuse_from = _fused_suffix_start(cfg, start)
+    for i in range(start, fuse_from):
         u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
         q0, used, _ = _tm_phase_plan(k, u)
-        if i == last and use_fused_last:
-            b = x.shape[0]
-            v_in = x.shape[2]
-            pw, pb = tm["mrf"][i]
-            planes = fused_upsample_mrf(
-                x, lens * u, tm["ups"][i], p["ups"][i]["b"], pw, pb,
-                p["conv_post"]["w"], u=u, q0=q0, kernel_sizes=ks,
-                dilation_sizes=ds, resblock_type=cfg.resblock, post=True,
-                interpret=interpret,
-            )  # (B, u, Vpad)
-            vpad = planes.shape[2]
-            wav = jnp.transpose(planes, (0, 2, 1)).reshape(b, vpad * u)
-            return wav[:, : v_in * u]
         x = tnn.leaky_relu(x, LRELU_SLOPE)
         x = _tconv_tm(x, tm["ups"][i], q0, used, p["ups"][i]["b"])
         lens = lens * u
@@ -347,6 +355,26 @@ def generator_tm_apply(
             x, lens, pw, pb, kernel_sizes=ks, dilation_sizes=ds,
             resblock_type=cfg.resblock, interpret=interpret,
         )
+    if fuse_from < n_stages:
+        b = x.shape[0]
+        v_frames = x.shape[2]
+        lens_f = lens  # valid samples at suffix-entry resolution
+        u_in = 1
+        for j in range(fuse_from, n_stages):
+            u, k = cfg.upsample_rates[j], cfg.upsample_kernel_sizes[j]
+            q0, _, _ = _tm_phase_plan(k, u)
+            pw, pb = tm["mrf"][j]
+            post = j == n_stages - 1
+            x = fused_upsample_mrf(
+                x, lens_f * (u * u_in), tm["ups"][j], p["ups"][j]["b"],
+                pw, pb, p["conv_post"]["w"] if post else None,
+                u=u, u_in=u_in, q0=q0, kernel_sizes=ks, dilation_sizes=ds,
+                resblock_type=cfg.resblock, post=post, interpret=interpret,
+            )
+            u_in = u * u_in
+        vpad = x.shape[2]
+        wav = jnp.transpose(x, (0, 2, 1)).reshape(b, vpad * u_in)
+        return wav[:, : v_frames * u_in]
     x = tnn.leaky_relu(x, 0.01)
     kp = p["conv_post"]["w"].astype(x.dtype)  # (7, C, 1)
     v = x.shape[2]

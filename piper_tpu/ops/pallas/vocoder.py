@@ -357,24 +357,25 @@ def _fused_stage_kernel(
     # prefetch
     lengths_ref,  # (B,) int32 valid OUTPUT samples per row
     # inputs
-    x_curr_ref,  # (1, C_in, Vt) tile i of halo-pre-shifted input frames
-    x_next_ref,  # (1, C_in, Vt) tile i+1 (right halo)
+    x_curr_ref,  # (1, u_in*C_in, Vt) tile i of halo-pre-shifted input frames
+    x_next_ref,  # (1, u_in*C_in, Vt) tile i+1 (right halo)
     wt_ref,  # (u, nq*C_in, C_out) packed polyphase taps
     bt_ref,  # (C_out, 1) f32 tconv bias
     wm_ref,  # (n_convs, k_max*C, C) packed MRF weights
     bm_ref,  # (n_convs, C, 1) f32 MRF biases
     wp_ref,  # (1, k_post*C) conv_post weights (zeros row when post=False)
     # outputs
-    out_ref,  # post: (1, u, Vt) waveform planes; else (1, C_out, u*Vt)
+    out_ref,  # post: (1, u_out, Vt); else (1, u_out*C_out, Vt) sublane planes
     # scratch
-    win_ref,  # (C_in, Wi) input window
-    tapin_ref,  # (nq*C_in, Wi) tconv tap stack
-    a_ref,  # (C_out, u*Wp) phase-blocked activation
-    tap_ref,  # (k_max*C_out, u*Wp) MRF tap stack
-    mask_ref,  # (1, u*Wp) f32 out-validity (1.0 valid / 0.0 invalid)
+    win_ref,  # (u_in*C_in, Wi) input window
+    tapin_ref,  # (nq*C_in, u_in*Wi) tconv tap stack (lane-blocked by p1)
+    a_ref,  # (C_out, u_out*Wp) phase-blocked activation
+    tap_ref,  # (k_max*C_out, u_out*Wp) MRF tap stack
+    mask_ref,  # (1, u_out*Wp) f32 out-validity (1.0 valid / 0.0 invalid)
     *,
     blocks: List[List[Tuple[int, int]]],
-    u: int,
+    u: int,  # this stage's upsample factor
+    u_in: int,  # phase planes of the INPUT (1 = interleaved time-major)
     q0: int,
     nq: int,
     hp: int,
@@ -387,52 +388,66 @@ def _fused_stage_kernel(
 ):
     b_idx = pl.program_id(0)
     tile_idx = pl.program_id(1)
+    u_out = u * u_in
     wi = t_tile + 2 * h_in
     wp = t_tile + 2 * hp
     out_len = lengths_ref[b_idx]
-    in_len = out_len // u
     v0 = tile_idx * t_tile  # global frame index of tile column 0
 
     # ---- input window: frames [v0 - h_in, v0 + Vt + h_in) ----
     win_ref[:, :t_tile] = x_curr_ref[0]
     win_ref[:, t_tile:] = x_next_ref[0, :, : 2 * h_in]
-    pos_in = jax.lax.broadcasted_iota(jnp.int32, (1, wi), 1) + (v0 - h_in)
-    valid_in = (pos_in >= 0) & (pos_in < in_len)
-    x = jnp.where(valid_in, win_ref[...], 0.0)
+    if u_in == 1:
+        in_len = out_len // u
+        pos_in = jax.lax.broadcasted_iota(jnp.int32, (1, wi), 1) + (v0 - h_in)
+        valid_in = (pos_in >= 0) & (pos_in < in_len)
+        x = jnp.where(valid_in, win_ref[...], 0.0)
+    else:
+        # plane-form input comes from another fused stage, whose output
+        # mask already zeroed every invalid sample exactly
+        x = win_ref[...]
     slope = jnp.asarray(LRELU_SLOPE, x.dtype)
     x = jnp.maximum(x, 0) + slope * jnp.minimum(x, 0)
 
     # ---- polyphase transposed conv -> phase planes ----
-    for qi in range(nq):
-        shift = q0 + qi
-        if shift == 0:
-            seg = x
-        elif shift > 0:
-            seg = jnp.pad(x, ((0, 0), (0, shift)))[:, shift:]
-        else:
-            seg = jnp.pad(x, ((0, 0), (-shift, 0)))[:, :wi]
-        tapin_ref[qi * c_in : (qi + 1) * c_in, :] = seg
+    # Input true time s = u_in*w + p1; tap q reads s + q = plane
+    # p1' = (p1+q) mod u_in at frame w + (p1+q-p1')/u_in. Output plane
+    # index pi = u*p1 + p2 (t = u*s + p2 = u_out*w + pi).
+    for p1 in range(u_in):
+        for qi in range(nq):
+            q = q0 + qi
+            p1s = (p1 + q) % u_in
+            delta = (p1 + q - p1s) // u_in
+            blk = x[p1s * c_in : (p1s + 1) * c_in, :]
+            if delta > 0:
+                blk = jnp.pad(blk, ((0, 0), (0, delta)))[:, delta:]
+            elif delta < 0:
+                blk = jnp.pad(blk, ((0, 0), (-delta, 0)))[:, :wi]
+            tapin_ref[
+                qi * c_in : (qi + 1) * c_in, p1 * wi : (p1 + 1) * wi
+            ] = blk
     taps_in = tapin_ref[...]
-    # out-validity per plane: t = u*(v0 - hp + j) + p for lane p*Wp + j
-    for p in range(u):
+    # out-validity per plane: t = u_out*(v0 - hp + j) + pi for lane pi*Wp + j
+    for p2 in range(u):
         ph = jax.lax.dot_general(
-            wt_ref[p].astype(x.dtype), taps_in,
+            wt_ref[p2].astype(x.dtype), taps_in,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
-        )
-        ph = ph + bt_ref[...].astype(acc_dtype)
-        # frame j of the plane corresponds to window column h_in - hp + j
-        a_ref[:, p * wp : (p + 1) * wp] = ph[:, h_in - hp : h_in - hp + wp].astype(
-            x.dtype
-        )
-        pos_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1) + (v0 - hp)
-        ) * u + p
-        mask_ref[:, p * wp : (p + 1) * wp] = jnp.where(
-            (pos_t >= 0) & (pos_t < out_len), 1.0, 0.0
-        )
+        )  # (C_out, u_in*Wi) lane-blocked by p1
+        ph = (ph + bt_ref[...].astype(acc_dtype)).astype(x.dtype)
+        for p1 in range(u_in):
+            pi = u * p1 + p2
+            a_ref[:, pi * wp : (pi + 1) * wp] = ph[
+                :, p1 * wi + h_in - hp : p1 * wi + h_in - hp + wp
+            ]
+            pos_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1) + (v0 - hp)
+            ) * u_out + pi
+            mask_ref[:, pi * wp : (pi + 1) * wp] = jnp.where(
+                (pos_t >= 0) & (pos_t < out_len), 1.0, 0.0
+            )
 
-    valid = mask_ref[...] > 0.5  # (1, u*Wp)
+    valid = mask_ref[...] > 0.5  # (1, u_out*Wp)
     x = jnp.where(valid, a_ref[...], 0.0)
 
     def lrelu(v):
@@ -454,10 +469,10 @@ def _fused_stage_kernel(
         pad = (k * d - d) // 2
         for kk in range(k):
             o = kk * d - pad
-            for p in range(u):
-                # out time t = u*w + p reads source t + o = u*(w + delta) + p_src
-                p_src = (p + o) % u
-                delta = (p + o - p_src) // u
+            for p in range(u_out):
+                # out time t = u_out*w + p reads t + o = u_out*(w+delta) + p_src
+                p_src = (p + o) % u_out
+                delta = (p + o - p_src) // u_out
                 tap_ref[
                     kk * c_out : (kk + 1) * c_out, p * wp : (p + 1) * wp
                 ] = plane_shift(h, p_src, delta)
@@ -501,8 +516,10 @@ def _fused_stage_kernel(
     out = (xs / len(blocks)).astype(x.dtype)
 
     if not post:
-        for p in range(u):
-            out_ref[0, :, p * t_tile : (p + 1) * t_tile] = out[
+        # sublane-plane output (1, u_out*C_out, Vt): plane-form for the
+        # next fused stage to consume directly
+        for p in range(u_out):
+            out_ref[0, p * c_out : (p + 1) * c_out, :] = out[
                 :, p * wp + hp : p * wp + hp + t_tile
             ]
         return
@@ -515,9 +532,9 @@ def _fused_stage_kernel(
     pad = (k_post - 1) // 2
     for kk in range(k_post):
         o = kk - pad
-        for p in range(u):
-            p_src = (p + o) % u
-            delta = (p + o - p_src) // u
+        for p in range(u_out):
+            p_src = (p + o) % u_out
+            delta = (p + o - p_src) // u_out
             tap_ref[
                 kk * c_out : (kk + 1) * c_out, p * wp : (p + 1) * wp
             ] = plane_shift(g, p_src, delta)
@@ -525,23 +542,23 @@ def _fused_stage_kernel(
         wp_ref[...].astype(g.dtype), tap_ref[: k_post * c_out, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
-    )  # (1, u*Wp)
+    )  # (1, u_out*Wp)
     y = jnp.tanh(y) * mask_ref[...].astype(acc_dtype)
     y = y.astype(out_ref.dtype)
-    for p in range(u):
+    for p in range(u_out):
         out_ref[0, p : p + 1, :] = y[:, p * wp + hp : p * wp + hp + t_tile]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "u", "q0", "kernel_sizes", "dilation_sizes", "resblock_type",
+        "u", "u_in", "q0", "kernel_sizes", "dilation_sizes", "resblock_type",
         "post", "t_tile", "interpret",
     ),
 )
 def fused_upsample_mrf(
-    x_tm: jnp.ndarray,  # (B, C_in, V) time-major stage input (pre-lrelu)
-    lengths: jnp.ndarray,  # (B,) int32 valid OUTPUT samples (in_frames * u)
+    x_tm: jnp.ndarray,  # (B, u_in*C_in, V) stage input (pre-lrelu)
+    lengths: jnp.ndarray,  # (B,) int32 valid OUTPUT samples of this stage
     wt: jnp.ndarray,  # (u, nq, C_in, C_out) polyphase taps (zeros unused)
     bt: jnp.ndarray,  # (C_out,) tconv bias
     wm: jnp.ndarray,  # (n_convs, k_max, C_out, C_out) packed MRF weights
@@ -549,6 +566,7 @@ def fused_upsample_mrf(
     wpost: Optional[jnp.ndarray],  # (k_post, C_out, 1) conv_post or None
     *,
     u: int,
+    u_in: int = 1,
     q0: int,
     kernel_sizes: Tuple[int, ...],
     dilation_sizes: Tuple[Tuple[int, ...], ...],
@@ -559,31 +577,41 @@ def fused_upsample_mrf(
 ):
     """One HiFiGAN upsample stage in a single Pallas pass.
 
-    Returns (B, u, Vpad) waveform phase planes when post=True (caller
-    interleaves: transpose + reshape of 2 bytes/sample), else
-    (B, C_out, u*Vpad) with per-TILE phase-blocked lanes (testing only).
+    Input: interleaved time-major (u_in=1, V = input samples) or the
+    sublane phase-plane output of a previous fused stage (u_in>1,
+    rows = u_in*C_in plane-major, V = frames; MUST be exactly masked,
+    which fused-stage outputs are). With u_out = u*u_in:
+    - post=True: returns (B, u_out, Vpad) waveform planes; caller
+      interleaves with a transpose+reshape (2 bytes/sample).
+    - post=False: returns (B, u_out*C_out, Vpad) sublane planes for the
+      next fused stage.
     Vpad = ceil(V / t_tile) * t_tile.
     """
     blocks, true_halo = _stage_plan(kernel_sizes, dilation_sizes, resblock_type)
-    b, c_in, v = x_tm.shape
+    b, rows_in, v = x_tm.shape
     nq = wt.shape[1]
+    c_in = wt.shape[2]
     c_out = wt.shape[3]
+    assert rows_in == u_in * c_in, (rows_in, u_in, c_in)
+    u_out = u * u_in
     k_post = wpost.shape[0] if post else 0
     if post:
         true_halo += (k_post - 1) // 2
-    hp = -(-true_halo // u) + 1
+    hp = -(-true_halo // u_out) + 1
     h_in = hp + max(-q0, q0 + nq - 1)
 
-    # VMEM-fit the frame tile: live buffers scale with u*Wp lanes at
-    # C_out rows (chain + tap stack) plus the input window at C_in.
-    # The tap stack is shared by the MRF convs and the conv_post
+    # VMEM-fit the frame tile: live buffers scale with u_out*Wp lanes at
+    # C_out rows (chain + tap stack) plus the input window and tconv tap
+    # stack. The tap stack is shared by the MRF convs and the conv_post
     # epilogue, so size it for the larger of the two kernels.
     k_max = max(wm.shape[1], k_post)
     esize = jnp.dtype(x_tm.dtype).itemsize
     w_bytes = (
         int(np.prod(wt.shape)) + int(np.prod(wm.shape)) + k_post * c_out
     ) * esize
-    per_frame = ((k_max + 14) * c_out * u + (nq + 3) * c_in) * esize
+    per_frame = (
+        (k_max + 14) * c_out * u_out + (u_in + nq * u_in + 2) * c_in
+    ) * esize
     avail = 12 * 1024 * 1024 - w_bytes
     cap = max(128, (avail // per_frame - 2 * hp) // 128 * 128)
     t_tile = min(t_tile, cap, -(-v // 128) * 128)
@@ -610,20 +638,22 @@ def fused_upsample_mrf(
 
     kernel = functools.partial(
         _fused_stage_kernel,
-        blocks=blocks, u=u, q0=q0, nq=nq, hp=hp, h_in=h_in,
+        blocks=blocks, u=u, u_in=u_in, q0=q0, nq=nq, hp=hp, h_in=h_in,
         t_tile=t_tile, c_in=c_in, c_out=c_out, post=post,
         acc_dtype=jnp.float32,
     )
     if post:
-        out_shape = jax.ShapeDtypeStruct((b, u, v_padded), x_tm.dtype)
+        out_shape = jax.ShapeDtypeStruct((b, u_out, v_padded), x_tm.dtype)
         out_spec = pl.BlockSpec(
-            (1, u, t_tile), lambda bi, ti, lens: (bi, 0, ti),
+            (1, u_out, t_tile), lambda bi, ti, lens: (bi, 0, ti),
             memory_space=pltpu.VMEM,
         )
     else:
-        out_shape = jax.ShapeDtypeStruct((b, c_out, u * v_padded), x_tm.dtype)
+        out_shape = jax.ShapeDtypeStruct(
+            (b, u_out * c_out, v_padded), x_tm.dtype
+        )
         out_spec = pl.BlockSpec(
-            (1, c_out, u * t_tile), lambda bi, ti, lens: (bi, 0, ti),
+            (1, u_out * c_out, t_tile), lambda bi, ti, lens: (bi, 0, ti),
             memory_space=pltpu.VMEM,
         )
 
@@ -634,11 +664,11 @@ def fused_upsample_mrf(
             grid=(b, n_tiles),
             in_specs=[
                 pl.BlockSpec(
-                    (1, c_in, t_tile), lambda bi, ti, lens: (bi, 0, ti),
+                    (1, rows_in, t_tile), lambda bi, ti, lens: (bi, 0, ti),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, c_in, t_tile), lambda bi, ti, lens: (bi, 0, ti + 1),
+                    (1, rows_in, t_tile), lambda bi, ti, lens: (bi, 0, ti + 1),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -649,11 +679,11 @@ def fused_upsample_mrf(
             ],
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((c_in, wi), x_tm.dtype),
-                pltpu.VMEM((nq * c_in, wi), x_tm.dtype),
-                pltpu.VMEM((c_out, u * wp_lanes), x_tm.dtype),
-                pltpu.VMEM((k_max * c_out, u * wp_lanes), x_tm.dtype),
-                pltpu.VMEM((1, u * wp_lanes), jnp.float32),
+                pltpu.VMEM((rows_in, wi), x_tm.dtype),
+                pltpu.VMEM((nq * c_in, u_in * wi), x_tm.dtype),
+                pltpu.VMEM((c_out, u_out * wp_lanes), x_tm.dtype),
+                pltpu.VMEM((k_max * c_out, u_out * wp_lanes), x_tm.dtype),
+                pltpu.VMEM((1, u_out * wp_lanes), jnp.float32),
             ],
         ),
         out_shape=out_shape,
@@ -668,8 +698,19 @@ def fused_upsample_mrf(
 def fused_stage_vmem_ok(
     c_in: int, c_out: int, u: int, nq: int,
     kernel_sizes, dilation_sizes, resblock_type: str,
+    u_in: int = 1,
 ) -> bool:
-    """Whether the fused stage kernel fits VMEM with a reasonable tile."""
+    """Whether the fused stage kernel fits VMEM with a reasonable tile
+    (>=128 frames) and a sane unroll size (u_out caps the static
+    tap-copy count per conv)."""
+    u_out = u * u_in
+    # Measured on v5e (medium voice): compound u_out=32 loses to leaving
+    # the earlier stage on the XLA path — the per-conv tap assembly is
+    # k*u_out block copies and the VMEM-capped tile shrinks to 128
+    # frames. u_out <= 8 keeps the copy unroll and tiles in the regime
+    # where the fused pass wins.
+    if u_out > 8:
+        return False
     n_convs = sum(
         (2 if resblock_type == "1" else 1) * len(d) for d in dilation_sizes
     )
@@ -677,5 +718,8 @@ def fused_stage_vmem_ok(
     w_bytes = (
         u * nq * c_in * c_out + n_convs * max(kernel_sizes) * c_out * c_out
     ) * 2
-    per_frame = ((k_max + 14) * c_out * u + (nq + 3) * c_in) * 2
-    return w_bytes + 256 * per_frame <= 12 * 1024 * 1024
+    per_frame = (
+        (k_max + 14) * c_out * u_out + (u_in + nq * u_in + 2) * c_in
+    ) * 2
+    # require a 128-frame tile (plus ~32 frames of halo slack) to fit
+    return w_bytes + 160 * per_frame <= 11 * 1024 * 1024

@@ -250,10 +250,120 @@ def test_fused_upsample_mrf_matches_xla(u, k, c_in, c_out, rb, post, lengths):
         vpad = out.shape[2]
         got = jnp.transpose(out, (0, 2, 1)).reshape(B, vpad * u)[:, : V * u]
     else:
-        vpad = out.shape[2] // u
-        n_tiles = vpad // 128
-        o = out.reshape(B, c_out, n_tiles, u, 128)
-        got = jnp.transpose(o, (0, 1, 2, 4, 3)).reshape(B, c_out, vpad * u)[
+        # sublane planes (B, u*C, Vpad): plane p rows hold samples u*v+p
+        vpad = out.shape[2]
+        o = out.reshape(B, u, c_out, vpad)
+        got = jnp.transpose(o, (0, 2, 3, 1)).reshape(B, c_out, vpad * u)[
             :, :, : V * u
         ]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("rb", ["1", "2"])
+def test_fused_stage_chain_matches_xla(rb):
+    """Two chained fused stages (planes handoff, u_in>1 compound planes,
+    conv_post in the second) vs the composed XLA two-stage path."""
+    from piper_tpu.ops import nn as tnn
+    from piper_tpu.ops.pallas.vocoder import fused_upsample_mrf
+
+    if rb == "1":
+        ks = (3, 7)
+        ds = ((1, 3), (1, 3))
+    else:
+        ks = (3, 5, 7)
+        ds = ((1, 2), (2, 6), (3, 12))
+    stages = [
+        # (u, k, c_in, c_out)
+        (8, 16, 48, 32),
+        (4, 8, 32, 16),
+    ]
+    rng = jax.random.PRNGKey(7)
+    B, V = 2, 96
+    lens_frames = jnp.asarray([96, 41], jnp.int32)
+    x0 = jax.random.normal(rng, (B, stages[0][2], V), jnp.float32)
+    mask0 = (
+        jnp.arange(V)[None, None, :] < lens_frames[:, None, None]
+    ).astype(jnp.float32)
+    x0 = x0 * mask0
+
+    ws = []
+    for si, (u, k, c_in, c_out) in enumerate(stages):
+        r = jax.random.fold_in(rng, si)
+        ws.append(
+            dict(
+                wt=0.1 * jax.random.normal(r, (k, c_in, c_out), jnp.float32),
+                bt=0.1 * jax.random.normal(
+                    jax.random.fold_in(r, 1), (c_out,), jnp.float32
+                ),
+                blocks=[
+                    G.init_resblock(
+                        jax.random.fold_in(r, 10 + j), c_out, ks[j], ds[j], rb
+                    )
+                    for j in range(len(ks))
+                ],
+            )
+        )
+    wpost = 0.3 * jax.random.normal(
+        jax.random.fold_in(rng, 99), (7, stages[1][3], 1), jnp.float32
+    )
+
+    # --- reference: composed XLA path ---
+    y = jnp.transpose(x0, (0, 2, 1))
+    lens = lens_frames
+    for si, (u, k, c_in, c_out) in enumerate(stages):
+        mask = (
+            jnp.arange(y.shape[1])[None, :, None] < lens[:, None, None]
+        ).astype(jnp.float32)
+        y = tnn.leaky_relu(y, 0.1) * mask
+        y = tnn.conv1d_transpose(
+            y, ws[si]["wt"], ws[si]["bt"], stride=u, padding=(k - u) // 2
+        )
+        lens = lens * u
+        mask = (
+            jnp.arange(y.shape[1])[None, :, None] < lens[:, None, None]
+        ).astype(jnp.float32)
+        y = y * mask
+        xs = None
+        for j in range(len(ks)):
+            r = resblock_apply(
+                ws[si]["blocks"][j], y, mask, kernel_size=ks[j],
+                dilations=ds[j], resblock_type=rb,
+            )
+            xs = r if xs is None else xs + r
+        y = xs / len(ks)
+    y = tnn.leaky_relu(y, 0.01) * mask
+    T = y.shape[1]
+    acc = jnp.zeros((B, T), jnp.float32)
+    yp = jnp.pad(y, ((0, 0), (3, 3), (0, 0)))
+    for tau in range(7):
+        acc = acc + jnp.einsum(
+            "btc,c->bt", yp[:, tau : tau + T], wpost[tau, :, 0]
+        )
+    ref = jnp.tanh(acc) * mask[..., 0]
+
+    # --- chained fused kernels ---
+    x = x0
+    u_in = 1
+    for si, (u, k, c_in, c_out) in enumerate(stages):
+        q0, used, idx = G._tm_phase_plan(k, u)
+        nq = used.shape[1]
+        kern = np.asarray(ws[si]["wt"])
+        wt = np.zeros((u, nq, c_in, c_out), np.float32)
+        for p in range(u):
+            for qi in range(nq):
+                if used[p, qi]:
+                    wt[p, qi] = kern[idx[p, qi]]
+        wm, bm = pack_stage_weights(ws[si]["blocks"], ks, ds, rb,
+                                    dtype=jnp.float32)
+        post = si == len(stages) - 1
+        x = fused_upsample_mrf(
+            x, lens_frames * (stages[0][0] if si == 0 else
+                              stages[0][0] * stages[1][0]),
+            jnp.asarray(wt), ws[si]["bt"], wm, bm, wpost if post else None,
+            u=u, u_in=u_in, q0=q0, kernel_sizes=ks, dilation_sizes=ds,
+            resblock_type=rb, post=post, t_tile=128, interpret=True,
+        )
+        u_in *= u
+    vpad = x.shape[2]
+    got = jnp.transpose(x, (0, 2, 1)).reshape(B, vpad * u_in)[:, : V * u_in]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
