@@ -92,7 +92,36 @@ class ModelConfig:
     istft_n_fft: int = 16
     istft_hop: int = 4
 
+    # VITS2 architecture upgrades (arXiv:2307.16430; beyond the
+    # reference, which is VITS1):
+    # - flow_transformer: windowed self-attention block inside each
+    #   residual-coupling conditioner (long-range deps in the flow).
+    # - use_dur_disc: adversarial duration training — a per-position
+    #   discriminator on (text hidden, log-duration) pairs.
+    # - mas_noise: Gaussian noise added to the MAS alignment scores
+    #   during training (annealed by the train loop).
+    # - speaker_cond_encoder: condition the text encoder itself on the
+    #   speaker embedding (multi-speaker).
+    flow_transformer: bool = False
+    use_dur_disc: bool = False
+    mas_noise: bool = False
+    speaker_cond_encoder: bool = False
+
     audio: AudioConfig = field(default_factory=AudioConfig)
+
+    @staticmethod
+    def vits2(
+        quality: str = "medium", num_symbols: int = 256, **kw
+    ) -> "ModelConfig":
+        """VITS2 preset: VITS quality presets + the 2307.16430 upgrades."""
+        base = ModelConfig.for_quality(quality, num_symbols=num_symbols, **kw)
+        return dataclasses.replace(
+            base,
+            flow_transformer=True,
+            use_dur_disc=True,
+            mas_noise=True,
+            speaker_cond_encoder=base.num_speakers > 1,
+        )
 
     @property
     def upsample_factor(self) -> int:

@@ -151,3 +151,46 @@ def mpd_apply(p: Params, y: jnp.ndarray, y_hat: jnp.ndarray):
         fmap_rs.append(f)
         fmap_gs.append(fg)
     return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+# ---------------------------------------------------------------------------
+# VITS2 duration discriminator (arXiv:2307.16430 §2.2 — beyond the
+# reference, which trains durations with likelihood/MSE only).
+#
+# Per-position real/fake judgement on (text-encoder hidden, log-duration)
+# pairs: the generator's duration predictor is additionally trained to
+# fool this discriminator, sharpening predicted durations toward the
+# MAS-alignment distribution.
+# ---------------------------------------------------------------------------
+
+
+def init_dur_disc(rng, hidden_channels: int, filter_channels: int = 256) -> Params:
+    rngs = jax.random.split(rng, 5)
+    return {
+        "pre_dur": L.init_dense(rngs[0], 1, filter_channels),
+        "pre_x": L.init_dense(rngs[1], hidden_channels, filter_channels),
+        "conv1": L.init_conv(rngs[2], 3, 2 * filter_channels, filter_channels),
+        "norm1": L.init_layer_norm(filter_channels),
+        "conv2": L.init_conv(rngs[3], 3, filter_channels, filter_channels),
+        "norm2": L.init_layer_norm(filter_channels),
+        "proj": L.init_dense(rngs[4], filter_channels, 1),
+    }
+
+
+def dur_disc_apply(
+    p: Params,
+    x: jnp.ndarray,  # (B, T, H) text hidden (caller stops gradients)
+    logw: jnp.ndarray,  # (B, T, 1) log-durations (real: MAS; fake: predictor)
+    x_mask: jnp.ndarray,  # (B, T, 1)
+) -> jnp.ndarray:
+    """Per-position logits (B, T, 1), masked."""
+    h = jnp.concatenate(
+        [L.dense(p["pre_x"], x), L.dense(p["pre_dur"], logw)], axis=-1
+    )
+    h = L.conv(p["conv1"], h * x_mask, padding=1)
+    h = tnn.leaky_relu(h, LRELU_SLOPE)
+    h = L.layer_norm(p["norm1"], h)
+    h = L.conv(p["conv2"], h * x_mask, padding=1)
+    h = tnn.leaky_relu(h, LRELU_SLOPE)
+    h = L.layer_norm(p["norm2"], h)
+    return L.dense(p["proj"], h) * x_mask

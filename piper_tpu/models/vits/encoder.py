@@ -292,8 +292,8 @@ def encoder_apply(
 
 
 def init_text_encoder(rng, cfg: ModelConfig) -> Params:
-    r_emb, r_enc, r_proj = jax.random.split(rng, 3)
-    return {
+    r_emb, r_enc, r_proj, r_cond = jax.random.split(rng, 4)
+    p = {
         "emb": {
             "weight": (cfg.hidden_channels**-0.5)
             * jax.random.normal(r_emb, (cfg.num_symbols, cfg.hidden_channels))
@@ -301,6 +301,10 @@ def init_text_encoder(rng, cfg: ModelConfig) -> Params:
         "encoder": init_encoder(r_enc, cfg),
         "proj": L.init_dense(r_proj, cfg.hidden_channels, 2 * cfg.inter_channels),
     }
+    if cfg.speaker_cond_encoder and cfg.gin_channels:
+        # VITS2: condition the text encoder on the speaker embedding
+        p["cond"] = L.init_dense(r_cond, cfg.gin_channels, cfg.hidden_channels)
+    return p
 
 
 def text_encoder_apply(
@@ -311,14 +315,18 @@ def text_encoder_apply(
     cfg: ModelConfig,
     dtype=jnp.float32,
     rng=None,
+    g=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """ids: (B, T) int32; x_mask: (B, T, 1).
+    """ids: (B, T) int32; x_mask: (B, T, 1); g: (B, gin) or None.
 
     Returns (hidden x, m_p, logs_p), each (B, T, ·).
-    Parity: models.py:198-209.
+    Parity: models.py:198-209 (+ VITS2 speaker conditioning when the
+    config enables it).
     """
     emb = p["emb"]["weight"].astype(dtype)
     x = emb[ids] * math.sqrt(cfg.hidden_channels)
+    if "cond" in p and g is not None:
+        x = x + L.dense(p["cond"], g.astype(dtype)[:, None, :])
     x = encoder_apply(p["encoder"], x, x_mask.astype(dtype), cfg=cfg, rng=rng)
     stats = L.dense(p["proj"], x) * x_mask
     m_p = stats[..., : cfg.inter_channels]

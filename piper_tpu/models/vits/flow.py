@@ -20,8 +20,8 @@ Params = Dict[str, Any]
 
 def init_coupling_layer(rng, cfg: ModelConfig) -> Params:
     half = cfg.inter_channels // 2
-    r_pre, r_wn, _ = jax.random.split(rng, 3)
-    return {
+    r_pre, r_wn, r_attn = jax.random.split(rng, 3)
+    p = {
         "pre": L.init_dense(r_pre, half, cfg.hidden_channels),
         "enc": L.init_wn(
             r_wn,
@@ -34,6 +34,16 @@ def init_coupling_layer(rng, cfg: ModelConfig) -> Params:
         # zero-init post (modules.py:443-445)
         "post": L.init_dense(rng, cfg.hidden_channels, half, zero=True),
     }
+    if cfg.flow_transformer:
+        # VITS2 (arXiv:2307.16430 §2.4): a self-attention block in the
+        # coupling conditioner. It only shapes m(x0), so invertibility
+        # is untouched; windowed rel-pos attention (the text encoder's
+        # banded kernel) keeps it O(T·w) at inference lengths.
+        from . import encoder as E
+
+        p["attn"] = E.init_attention(r_attn, cfg.hidden_channels, 2)
+        p["attn_norm"] = L.init_layer_norm(cfg.hidden_channels)
+    return p
 
 
 def coupling_layer_apply(
@@ -53,6 +63,15 @@ def coupling_layer_apply(
         p["enc"], h, x_mask,
         kernel_size=cfg.flow_kernel_size, dilation_rate=1, g=g,
     )
+    if "attn" in p:
+        # VITS2 transformer block in the conditioner (see init above)
+        from . import encoder as E
+
+        attn_mask = (
+            x_mask[:, None, :, 0:1] * x_mask[:, None, None, :, 0]
+        ).astype(h.dtype)
+        y = E.attention_apply(p["attn"], h, attn_mask, n_heads=2)
+        h = L.layer_norm(p["attn_norm"], h + y) * x_mask
     m = L.dense(p["post"], h) * x_mask
     if not reverse:
         x1 = (m + x1) * x_mask  # exp(logs)=1, mean_only

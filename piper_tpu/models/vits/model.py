@@ -109,10 +109,10 @@ def synthesizer_encode(
     standard normal (parity tests / deterministic replay).
     """
     x_mask = tnn.sequence_mask(lengths, ids.shape[1]).astype(dtype)
-    x, m_p, logs_p = E.text_encoder_apply(
-        params["enc_p"], ids, x_mask, cfg=cfg, dtype=dtype
-    )
     g = speaker_embedding(params, cfg, sid)
+    x, m_p, logs_p = E.text_encoder_apply(
+        params["enc_p"], ids, x_mask, cfg=cfg, dtype=dtype, g=g
+    )
 
     if cfg.use_sdp:
         if dur_noise is None:

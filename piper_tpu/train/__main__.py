@@ -86,6 +86,10 @@ def main(argv=None) -> None:
                    help="Checkpoint directory (default: dataset-dir/ckpt)")
     p.add_argument("--quality", default="medium",
                    choices=("x-low", "low", "medium", "high"))
+    p.add_argument("--variant", default="vits", choices=("vits", "vits2"),
+                   help="vits = reference architecture; vits2 adds the "
+                        "2307.16430 upgrades (transformer flow, "
+                        "adversarial durations, noised MAS)")
     p.add_argument("--config-overrides",
                    help="JSON dict of ModelConfig field overrides "
                         '(e.g. \'{"hidden_channels": 64}\'); "audio" '
@@ -121,7 +125,10 @@ def main(argv=None) -> None:
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
     vcfg = VoiceConfig.from_file(dataset_dir / "config.json")
-    cfg = ModelConfig.for_quality(
+    make_cfg = (
+        ModelConfig.vits2 if args.variant == "vits2" else ModelConfig.for_quality
+    )
+    cfg = make_cfg(
         args.quality,
         num_symbols=vcfg.num_symbols,
         num_speakers=vcfg.num_speakers,

@@ -44,6 +44,12 @@ class TrainForwardOut(NamedTuple):
     logs_q: jnp.ndarray
     y_mask: jnp.ndarray  # (B, T_y, 1)
     attn_durations: jnp.ndarray  # (B, T_x) frames per phoneme
+    # VITS2 duration-discriminator inputs (zeros unless cfg.use_dur_disc):
+    # x_h is the detached text hidden; logw_hat carries generator grads.
+    x_h: jnp.ndarray = jnp.zeros(())
+    x_mask: jnp.ndarray = jnp.zeros(())
+    logw_hat: jnp.ndarray = jnp.zeros(())
+    logw_real: jnp.ndarray = jnp.zeros(())
 
 
 def slice_segments(x: jnp.ndarray, ids_str: jnp.ndarray, segment_size: int):
@@ -73,8 +79,9 @@ def train_forward(
     sid: Optional[jnp.ndarray],
     rng: jax.Array,
     dtype=jnp.float32,
+    mas_noise_scale: Optional[jnp.ndarray] = None,
 ) -> TrainForwardOut:
-    r_post, r_sdp, r_slice, r_drop = jax.random.split(rng, 4)
+    r_post, r_sdp, r_slice, r_mas = jax.random.split(rng, 4)
     seg_frames = cfg.segment_size // cfg.audio.hop_length
 
     x_mask = tnn.sequence_mask(id_lengths, ids.shape[1]).astype(dtype)
@@ -82,7 +89,7 @@ def train_forward(
     g = speaker_embedding(params, cfg, sid)
 
     x, m_p, logs_p = E.text_encoder_apply(
-        params["enc_p"], ids, x_mask, cfg=cfg, dtype=dtype, rng=None
+        params["enc_p"], ids, x_mask, cfg=cfg, dtype=dtype, rng=None, g=g
     )
 
     post_noise = jax.random.normal(
@@ -106,19 +113,38 @@ def train_forward(
     neg_cent4 = jnp.sum(-0.5 * jnp.square(mp32) * s_p_sq_r, axis=-1)
     neg_cent = neg_cent2 + neg_cent3 + neg_cent1[:, None, :] + neg_cent4[:, None, :]
 
+    if cfg.mas_noise and mas_noise_scale is not None:
+        # VITS2 §2.2: annealed Gaussian noise on the alignment scores —
+        # explores alternative monotonic alignments early in training.
+        neg_cent = neg_cent + mas_noise_scale * jax.random.normal(
+            r_mas, neg_cent.shape, jnp.float32
+        )
+
     attn = maximum_path(neg_cent, id_lengths, spec_lengths)  # (B, T_y, T_x)
     w = jnp.sum(attn, axis=1)  # (B, T_x) durations
 
     # ---- duration loss ----
+    logw_real = jnp.log(w[..., None] + 1e-6) * x_mask
+    logw_hat = jnp.zeros(())
     if cfg.use_sdp:
         nll = D.sdp_forward_nll(
             params["dp"], x, x_mask, w[..., None], cfg=cfg, g=g, rng=r_sdp
         )
         loss_dur = jnp.sum(nll.astype(jnp.float32)) / jnp.sum(x_mask)
+        if cfg.use_dur_disc:
+            # adversarial target: a sampled log-duration sequence
+            dur_noise = jax.random.normal(
+                jax.random.fold_in(r_sdp, 1), (x.shape[0], x.shape[1], 2),
+                jnp.float32,
+            )
+            logw_hat = D.sdp_reverse(
+                params["dp"], x, x_mask, cfg=cfg,
+                noise_w=jnp.float32(1.0), noise=dur_noise, g=g,
+            )
     else:
-        logw_ = jnp.log(w[..., None] + 1e-6) * x_mask
         logw = D.dp_apply(params["dp"], x, x_mask, cfg=cfg, g=g)
-        loss_dur = jnp.sum(jnp.square(logw - logw_)) / jnp.sum(x_mask)
+        loss_dur = jnp.sum(jnp.square(logw - logw_real)) / jnp.sum(x_mask)
+        logw_hat = logw
 
     # ---- expand prior via per-frame phoneme index gather ----
     # attn rows are one-hot over phonemes; the frame's phoneme index is
@@ -143,4 +169,8 @@ def train_forward(
         logs_q=logs_q,
         y_mask=y_mask,
         attn_durations=w,
+        x_h=jax.lax.stop_gradient(x),
+        x_mask=x_mask,
+        logw_hat=logw_hat,
+        logw_real=jax.lax.stop_gradient(logw_real),
     )

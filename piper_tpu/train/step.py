@@ -76,6 +76,13 @@ def init_train_state(
     r_g, r_d = jax.random.split(rng)
     params_g = init_synthesizer_params(r_g, cfg, training=True)
     params_d = init_mpd(r_d)
+    if cfg.use_dur_disc:
+        from ..models.vits.discriminator import init_dur_disc
+
+        params_d = dict(params_d)
+        params_d["dur_disc"] = init_dur_disc(
+            jax.random.fold_in(r_d, 1), cfg.hidden_channels
+        )
     tx = optimizer or make_optimizer(steps_per_epoch=steps_per_epoch)
     state = TrainState(
         params_g=params_g,
@@ -113,12 +120,21 @@ def train_step(
         n_mels=a.mel_channels, fmin=a.mel_fmin, fmax=a.mel_fmax,
     )
 
+    # VITS2 annealed MAS noise: 0.01 decayed linearly to 0 over the
+    # first 800k steps (arXiv:2307.16430 §2.2), derived from state.step
+    # so the jitted step needs no extra input.
+    mas_noise_scale = None
+    if cfg.mas_noise:
+        mas_noise_scale = 0.01 * jnp.maximum(
+            0.0, 1.0 - state.step.astype(jnp.float32) / 800_000.0
+        )
+
     def gen_loss_fn(params_g):
         out = train_forward(
             params_g, cfg=cfg,
             ids=batch["ids"], id_lengths=batch["id_lengths"],
             spec=batch["spec"], spec_lengths=batch["spec_lengths"],
-            sid=sid, rng=rng, dtype=dtype,
+            sid=sid, rng=rng, dtype=dtype, mas_noise_scale=mas_noise_scale,
         )
         y_hat = out.y_hat.astype(jnp.float32)  # (B, seg_samples)
         y_mel = slice_segments(mel_all, out.ids_slice, seg_frames)
@@ -154,6 +170,27 @@ def train_step(
             "y": y,
             "y_hat": y_hat,
         }
+        if cfg.use_dur_disc:
+            # VITS2: the duration predictor also fools a per-position
+            # discriminator on (text hidden, log-duration) pairs.
+            from ..models.vits.discriminator import dur_disc_apply
+
+            dd_g = dur_disc_apply(
+                state.params_d["dur_disc"], out.x_h, out.logw_hat, out.x_mask
+            )
+            denom = jnp.sum(out.x_mask)
+            loss_dur_gen = (
+                jnp.sum(jnp.square(1.0 - dd_g) * out.x_mask) / denom
+            )
+            total = total + loss_dur_gen
+            aux["loss_gen_all"] = total
+            aux["loss_dur_gen"] = loss_dur_gen
+            aux["dd_in"] = (
+                out.x_h,
+                jax.lax.stop_gradient(out.logw_hat),
+                out.logw_real,
+                out.x_mask,
+            )
         return total, aux
 
     (loss_g, aux), grads_g = jax.value_and_grad(gen_loss_fn, has_aux=True)(
@@ -162,10 +199,22 @@ def train_step(
 
     y = jax.lax.stop_gradient(aux.pop("y"))
     y_hat = jax.lax.stop_gradient(aux.pop("y_hat"))
+    dd_in = aux.pop("dd_in", None)
 
     def disc_loss_fn(params_d):
         y_d_hat_r, y_d_hat_g, _, _ = mpd_apply(params_d, y, y_hat)
         loss_disc, _, _ = LS.discriminator_loss(y_d_hat_r, y_d_hat_g)
+        if dd_in is not None:
+            from ..models.vits.discriminator import dur_disc_apply
+
+            x_h, logw_hat, logw_real, x_mask = dd_in
+            dd_r = dur_disc_apply(params_d["dur_disc"], x_h, logw_real, x_mask)
+            dd_f = dur_disc_apply(params_d["dur_disc"], x_h, logw_hat, x_mask)
+            denom = jnp.sum(x_mask)
+            loss_disc = loss_disc + (
+                jnp.sum((jnp.square(1.0 - dd_r) + jnp.square(dd_f)) * x_mask)
+                / denom
+            )
         return loss_disc
 
     loss_d, grads_d = jax.value_and_grad(disc_loss_fn)(state.params_d)
