@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--quality", default="medium")
     ap.add_argument("--vocoder", default="hifigan",
                     choices=["hifigan", "mb_istft"])
+    ap.add_argument("--variant", default="vits", choices=["vits", "vits2"])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--precision", default="fast", choices=["fast", "parity"])
@@ -62,7 +63,7 @@ def main():
     # chips is the host link, and compute hides behind it.
     voice = TpuVoice.random(
         args.quality, num_symbols=256, seed=0, precision=args.precision,
-        vocoder=args.vocoder,
+        vocoder=args.vocoder, variant=args.variant,
         phoneme_buckets=[512],
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
     )

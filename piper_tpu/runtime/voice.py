@@ -390,11 +390,16 @@ class TpuVoice:
         num_speakers: int = 1,
         seed: int = 0,
         vocoder: str = "hifigan",
+        variant: str = "vits",
         **kw,
     ) -> "TpuVoice":
         """Random-weight voice (benchmarks, smoke tests)."""
         if vocoder == "mb_istft":
             model_cfg = ModelConfig.mb_istft(
+                quality, num_symbols=num_symbols, num_speakers=num_speakers
+            )
+        elif variant == "vits2":
+            model_cfg = ModelConfig.vits2(
                 quality, num_symbols=num_symbols, num_speakers=num_speakers
             )
         else:

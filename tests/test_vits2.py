@@ -177,3 +177,20 @@ def test_vits2_native_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_vits2_serves_through_runtime():
+    """A VITS2 voice runs through the batched TpuVoice pipeline."""
+    from piper_tpu.config import SynthesisConfig
+    from piper_tpu.runtime.voice import TpuVoice
+
+    voice = TpuVoice.random(
+        "x-low", num_symbols=64, seed=0, variant="vits2",
+        phoneme_buckets=[16], frame_buckets=[32, 64],
+    )
+    assert voice.model_cfg.flow_transformer
+    ids = [[1, 5, 9, 13, 2], [1, 7, 11, 2]]
+    out = voice.synthesize_ids_batch(ids, syn=SynthesisConfig(seed=0))
+    assert len(out) == 2
+    for a in out:
+        assert a.size > 0 and np.all(np.isfinite(a))
