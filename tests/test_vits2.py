@@ -2,10 +2,7 @@
 VITS1): transformer block in the flow conditioner, adversarial duration
 predictor, annealed-noise MAS, speaker-conditioned text encoder."""
 
-import dataclasses
-
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +59,6 @@ def test_flow_transformer_invertible():
     )
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 17, cfg.inter_channels))
     mask = jnp.ones((2, 17, 1))
-    z, _ = None, None
     y = F.flow_apply(p, x, mask, cfg=cfg, reverse=False)
     back = F.flow_apply(p, y, mask, cfg=cfg, reverse=True)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
