@@ -208,6 +208,78 @@ def attention_apply(
     return L.dense(p["o"], out)
 
 
+def local_attention_apply(
+    p: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    *,
+    n_heads: int,
+    window: int = WINDOW_SIZE,
+) -> jnp.ndarray:
+    """Windowed self-attention: position i attends only to |j-i| <= w.
+
+    True O(T·w): scores are computed directly in band form
+    (B, H, T, 2w+1) via static time shifts of k/v — the (T, T) score
+    matrix never materializes, so this is safe at full spectrogram
+    frame lengths (the dense attention_apply above allocates
+    B·H·T² f32). Shares init_attention parameters, including the
+    rel-pos tables (the band offset axis IS the rel-table index).
+    Equals attention_apply under a band-restricted attn_mask
+    (tests/test_vits2.py).
+    """
+    b, t, c = x.shape
+    k_channels = c // n_heads
+    scale = 1.0 / math.sqrt(k_channels)
+    kk = 2 * window + 1
+
+    q = (L.dense(p["q"], x) * scale).reshape(b, t, n_heads, k_channels)
+    k = L.dense(p["k"], x).reshape(b, t, n_heads, k_channels)
+    v = L.dense(p["v"], x).reshape(b, t, n_heads, k_channels)
+
+    def shift_t(arr, o):
+        """arr[:, i+o] with zero fill (time axis 1)."""
+        if o == 0:
+            return arr
+        if o > 0:
+            return jnp.pad(arr, ((0, 0), (0, o)) + ((0, 0),) * (arr.ndim - 2))[
+                :, o:
+            ]
+        return jnp.pad(arr, ((0, 0), (-o, 0)) + ((0, 0),) * (arr.ndim - 2))[
+            :, :t
+        ]
+
+    k_band = jnp.stack([shift_t(k, o - window) for o in range(kk)], axis=2)
+    v_band = jnp.stack([shift_t(v, o - window) for o in range(kk)], axis=2)
+    valid = jnp.stack(
+        [shift_t(x_mask[..., 0], o - window) for o in range(kk)], axis=2
+    )  # (B, T, K) — 0 beyond the sequence or past valid length
+
+    scores = jnp.einsum(
+        "bqhd,bqohd->bhqo", q, k_band, preferred_element_type=jnp.float32
+    )
+    rel_k = p["emb_rel_k"].astype(x.dtype)  # (1 or H, 2w+1, d)
+    if rel_k.shape[0] == 1:
+        scores = scores + jnp.einsum(
+            "bqhd,od->bhqo", q, rel_k[0], preferred_element_type=jnp.float32
+        )
+    else:
+        scores = scores + jnp.einsum(
+            "bqhd,hod->bhqo", q, rel_k, preferred_element_type=jnp.float32
+        )
+    scores = jnp.where(
+        valid[:, None, :, :] == 0, jnp.float32(-1e4), scores
+    )
+    p_attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhqo,bqohd->bqhd", p_attn, v_band)
+    rel_v = p["emb_rel_v"].astype(x.dtype)
+    if rel_v.shape[0] == 1:
+        out = out + jnp.einsum("bhqo,od->bqhd", p_attn, rel_v[0])
+    else:
+        out = out + jnp.einsum("bhqo,hod->bqhd", p_attn, rel_v)
+    return L.dense(p["o"], out.reshape(b, t, c))
+
+
 # ---------------------------------------------------------------------------
 # Conv feed-forward (attentions.py:362-427, activation=relu, non-causal)
 # ---------------------------------------------------------------------------

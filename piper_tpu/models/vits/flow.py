@@ -37,8 +37,9 @@ def init_coupling_layer(rng, cfg: ModelConfig) -> Params:
     if cfg.flow_transformer:
         # VITS2 (arXiv:2307.16430 §2.4): a self-attention block in the
         # coupling conditioner. It only shapes m(x0), so invertibility
-        # is untouched; windowed rel-pos attention (the text encoder's
-        # banded kernel) keeps it O(T·w) at inference lengths.
+        # is untouched; windowed rel-pos attention
+        # (encoder.local_attention_apply, band-form scores) keeps it
+        # O(T·w) at inference frame counts.
         from . import encoder as E
 
         p["attn"] = E.init_attention(r_attn, cfg.hidden_channels, 2)
@@ -64,13 +65,13 @@ def coupling_layer_apply(
         kernel_size=cfg.flow_kernel_size, dilation_rate=1, g=g,
     )
     if "attn" in p:
-        # VITS2 transformer block in the conditioner (see init above)
+        # VITS2 transformer block in the conditioner (see init above).
+        # Windowed attention: the flow runs at spectrogram-frame
+        # resolution (thousands of frames at inference), where dense
+        # (T, T) scores would cost gigabytes; the band form is O(T·w).
         from . import encoder as E
 
-        attn_mask = (
-            x_mask[:, None, :, 0:1] * x_mask[:, None, None, :, 0]
-        ).astype(h.dtype)
-        y = E.attention_apply(p["attn"], h, attn_mask, n_heads=2)
+        y = E.local_attention_apply(p["attn"], h, x_mask, n_heads=2)
         h = L.layer_norm(p["attn_norm"], h + y) * x_mask
     m = L.dense(p["post"], h) * x_mask
     if not reverse:

@@ -229,11 +229,12 @@ def _tm_start_stage(cfg: ModelConfig) -> int:
     return len(cfg.upsample_rates)
 
 
-def _fused_suffix_start(cfg: ModelConfig, start: int) -> int:
+def _fused_suffix_start(cfg: ModelConfig, start: int, esize: int = 2) -> int:
     """First stage of the trailing run that executes as chained fused
     phase-plane kernels (ops/pallas/vocoder.fused_upsample_mrf): the
     smallest f >= start such that every stage in [f, n) fits VMEM with
-    its compound plane count. Returns n when no suffix qualifies."""
+    its compound plane count at `esize` bytes/element. Returns n when
+    no suffix qualifies."""
     from ...ops.pallas.vocoder import fused_stage_vmem_ok
 
     ks = cfg.resblock_kernel_sizes
@@ -250,6 +251,7 @@ def _fused_suffix_start(cfg: ModelConfig, start: int) -> int:
             if not fused_stage_vmem_ok(
                 uic // (2 ** j), uic // (2 ** (j + 1)), u_j,
                 used_j.shape[1], ks, ds, cfg.resblock, u_in=u_in,
+                esize=esize,
             ):
                 ok = False
                 break
@@ -343,7 +345,7 @@ def generator_tm_apply(
     # materializes; stage j's sublane-plane output feeds stage j+1
     # directly, and only the final (B, U, V) waveform planes get a cheap
     # 2-bytes/sample XLA transpose. Static decision from cfg.
-    fuse_from = _fused_suffix_start(cfg, start)
+    fuse_from = _fused_suffix_start(cfg, start, jnp.dtype(x.dtype).itemsize)
     for i in range(start, fuse_from):
         u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
         q0, used, _ = _tm_phase_plan(k, u)

@@ -616,6 +616,16 @@ def fused_upsample_mrf(
     cap = max(128, (avail // per_frame - 2 * hp) // 128 * 128)
     t_tile = min(t_tile, cap, -(-v // 128) * 128)
     t_tile = max(t_tile, -(-2 * h_in // 128) * 128)
+    # The 128-frame floor above can exceed VMEM for configs the caller
+    # should have routed to the XLA path (fused_stage_vmem_ok with the
+    # right esize); fail loudly at trace time instead of in Mosaic.
+    est = w_bytes + (t_tile + 2 * hp) * per_frame
+    if est > 14 * 1024 * 1024:
+        raise ValueError(
+            f"fused_upsample_mrf does not fit VMEM (~{est >> 20} MiB for "
+            f"t_tile={t_tile}, dtype={x_tm.dtype}); gate the caller with "
+            "fused_stage_vmem_ok(..., esize=dtype.itemsize)"
+        )
     n_tiles = pl.cdiv(v, t_tile)
     v_padded = n_tiles * t_tile
     if v_padded != v:
@@ -699,10 +709,12 @@ def fused_stage_vmem_ok(
     c_in: int, c_out: int, u: int, nq: int,
     kernel_sizes, dilation_sizes, resblock_type: str,
     u_in: int = 1,
+    esize: int = 2,
 ) -> bool:
     """Whether the fused stage kernel fits VMEM with a reasonable tile
     (>=128 frames) and a sane unroll size (u_out caps the static
-    tap-copy count per conv)."""
+    tap-copy count per conv). esize: bytes per activation element
+    (2 = bf16 serving; pass 4 when calling the kernel in float32)."""
     u_out = u * u_in
     # Measured on v5e (medium voice): compound u_out=32 loses to leaving
     # the earlier stage on the XLA path — the per-conv tap assembly is
@@ -717,9 +729,9 @@ def fused_stage_vmem_ok(
     k_max = max(max(kernel_sizes), 7)  # tap scratch also serves conv_post
     w_bytes = (
         u * nq * c_in * c_out + n_convs * max(kernel_sizes) * c_out * c_out
-    ) * 2
+    ) * esize
     per_frame = (
         (k_max + 14) * c_out * u_out + (u_in + nq * u_in + 2) * c_in
-    ) * 2
+    ) * esize
     # require a 128-frame tile (plus ~32 frames of halo slack) to fit
     return w_bytes + 160 * per_frame <= 11 * 1024 * 1024

@@ -395,6 +395,11 @@ class TpuVoice:
     ) -> "TpuVoice":
         """Random-weight voice (benchmarks, smoke tests)."""
         if vocoder == "mb_istft":
+            if variant != "vits":
+                raise ValueError(
+                    "vocoder='mb_istft' with variant='vits2' is not a "
+                    "supported combination yet; pick one"
+                )
             model_cfg = ModelConfig.mb_istft(
                 quality, num_symbols=num_symbols, num_speakers=num_speakers
             )

@@ -132,13 +132,17 @@ def train_forward(
         )
         loss_dur = jnp.sum(nll.astype(jnp.float32)) / jnp.sum(x_mask)
         if cfg.use_dur_disc:
-            # adversarial target: a sampled log-duration sequence
+            # adversarial target: a sampled log-duration sequence.
+            # x is detached here — sdp_forward_nll and dp_apply both
+            # detach their condition internally, but sdp_reverse (an
+            # inference path) does not; without this the GAN gradient
+            # would leak into the text encoder.
             dur_noise = jax.random.normal(
                 jax.random.fold_in(r_sdp, 1), (x.shape[0], x.shape[1], 2),
                 jnp.float32,
             )
             logw_hat = D.sdp_reverse(
-                params["dp"], x, x_mask, cfg=cfg,
+                params["dp"], jax.lax.stop_gradient(x), x_mask, cfg=cfg,
                 noise_w=jnp.float32(1.0), noise=dur_noise, g=g,
             )
     else:

@@ -120,13 +120,13 @@ def train_step(
         n_mels=a.mel_channels, fmin=a.mel_fmin, fmax=a.mel_fmax,
     )
 
-    # VITS2 annealed MAS noise: 0.01 decayed linearly to 0 over the
-    # first 800k steps (arXiv:2307.16430 §2.2), derived from state.step
-    # so the jitted step needs no extra input.
+    # VITS2 annealed MAS noise: initial 0.01, decreased by 2e-6 every
+    # step (zero after 5k steps — arXiv:2307.16430 §2.2), derived from
+    # state.step so the jitted step needs no extra input.
     mas_noise_scale = None
     if cfg.mas_noise:
-        mas_noise_scale = 0.01 * jnp.maximum(
-            0.0, 1.0 - state.step.astype(jnp.float32) / 800_000.0
+        mas_noise_scale = jnp.maximum(
+            0.0, 0.01 - 2e-6 * state.step.astype(jnp.float32)
         )
 
     def gen_loss_fn(params_g):

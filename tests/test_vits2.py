@@ -190,3 +190,34 @@ def test_vits2_serves_through_runtime():
     assert len(out) == 2
     for a in out:
         assert a.size > 0 and np.all(np.isfinite(a))
+
+
+def test_local_attention_matches_banded_dense():
+    """local_attention_apply (O(T*w) band form) equals the dense
+    attention_apply under an attention mask restricted to the same
+    band, for shared parameters including the rel-pos tables."""
+    from piper_tpu.models.vits import encoder as E
+
+    rng = jax.random.PRNGKey(0)
+    B, T, C, H = 2, 33, 32, 2
+    p = E.init_attention(rng, C, H)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, C))
+    lens = jnp.asarray([T, 21], jnp.int32)
+    x_mask = (jnp.arange(T)[None, :, None] < lens[:, None, None]).astype(
+        jnp.float32
+    )
+    x = x * x_mask
+
+    w = E.WINDOW_SIZE
+    io = jnp.arange(T)
+    band = (jnp.abs(io[None, :] - io[:, None]) <= w).astype(jnp.float32)
+    attn_mask = (
+        x_mask[:, None, :, 0:1] * x_mask[:, None, None, :, 0] * band[None, None]
+    )
+    ref = E.attention_apply(p, x, attn_mask, n_heads=H)
+    got = E.local_attention_apply(p, x, x_mask, n_heads=H)
+    # compare valid rows only (invalid rows are masked downstream)
+    m = np.asarray(x_mask)
+    np.testing.assert_allclose(
+        np.asarray(got) * m, np.asarray(ref) * m, atol=2e-5, rtol=1e-4
+    )
