@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Self-distillation demo: the full piper_tpu product loop on one chip.
+
+No speech dataset ships in this environment, so the demo makes its own:
+a frozen random-weight "teacher" voice synthesizes audio for the
+reference's pre-phonemized multilingual fixture sentences
+(/root/reference/etc/test_sentences/test_*.jsonl), those WAVs are
+cached/spectrogrammed through the training preprocessing path, and a
+fresh "student" is GAN-trained from scratch to reproduce the teacher.
+This exercises, end to end, on real hardware:
+
+  dataset build -> norm/spec cache -> bucketed loader -> jitted GAN
+  step (G + MPD, on-device MAS) -> checkpointing -> validation (mel L1
+  + sample WAVs) -> .npz export -> serving the trained voice.
+
+The convergence signal is real even though the teacher is random: the
+student's mel/KL/duration losses must fall and the validation mel-L1
+against the teacher's held-out audio must beat an untrained student.
+
+Usage:
+  python examples/self_distill.py --out /tmp/distill --steps 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_dataset(out: Path, quality: str, seed: int) -> dict:
+    """Teacher-synthesize the fixture sentences into a training dir."""
+    from piper_tpu.config import AudioConfig, SynthesisConfig
+    from piper_tpu.runtime.voice import TpuVoice
+    from piper_tpu.runtime.wav import audio_float_to_int16, write_wav
+    from piper_tpu.train.norm_audio import cache_norm_audio
+    from piper_tpu.train.preprocess import default_espeak_id_map
+
+    id_map = default_espeak_id_map()
+    num_symbols = max(i[0] for i in id_map.values()) + 1
+
+    utts = []
+    for p in sorted(Path("/root/reference/etc/test_sentences").glob("test_*.jsonl")):
+        for line in p.read_text(encoding="utf-8").splitlines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            ids = rec["phoneme_ids"]
+            if max(ids) < num_symbols and 8 <= len(ids) <= 256:
+                utts.append({"text": rec.get("text", ""), "phoneme_ids": ids})
+    print(f"fixture utterances: {len(utts)} (num_symbols {num_symbols})")
+
+    teacher = TpuVoice.random(quality, num_symbols=num_symbols, seed=seed)
+    sr = teacher.config.sample_rate
+    wav_dir = out / "wavs"
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    audios = teacher.synthesize_ids_batch(
+        [u["phoneme_ids"] for u in utts], syn=SynthesisConfig(seed=seed)
+    )
+    print(f"teacher synthesis: {time.perf_counter() - t0:.1f}s "
+          f"({sum(len(a) for a in audios) / sr:.0f} audio-s)")
+
+    audio_cfg = AudioConfig(sample_rate=sr)
+    cache_dir = out / "cache" / str(sr)
+    # Cap utterance audio so the single-bucket train shape stays small.
+    max_samples = 896 * audio_cfg.hop_length
+    with open(out / "dataset.jsonl", "w", encoding="utf-8") as ds:
+        for i, (u, audio) in enumerate(zip(utts, audios)):
+            wav_path = wav_dir / f"utt_{i:04d}.wav"
+            write_wav(wav_path, audio_float_to_int16(audio[:max_samples]), sr)
+            # teacher output has no leading/trailing silence to trim
+            norm_path, spec_path = cache_norm_audio(
+                wav_path, cache_dir, audio_cfg, do_trim=False
+            )
+            ds.write(json.dumps({
+                "text": u["text"],
+                "phoneme_ids": u["phoneme_ids"],
+                "audio_norm_path": str(norm_path),
+                "audio_spec_path": str(spec_path),
+            }) + "\n")
+
+    config = {
+        "dataset": "self_distill",
+        "audio": {"sample_rate": sr},
+        "espeak": {"voice": "en-us"},
+        "language": {"code": "en-us"},
+        "inference": {"noise_scale": 0.667, "length_scale": 1, "noise_w": 0.8},
+        "phoneme_type": "espeak",
+        "phoneme_map": {},
+        "phoneme_id_map": id_map,
+        "num_symbols": num_symbols,
+        "num_speakers": 1,
+        "speaker_id_map": {},
+        "piper_version": "piper_tpu 0.1.0",
+    }
+    (out / "config.json").write_text(
+        json.dumps(config, ensure_ascii=False, indent=2), encoding="utf-8"
+    )
+    return {"utterances": len(utts), "sample_rate": sr}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=Path, default=Path("/tmp/self_distill"))
+    ap.add_argument("--quality", default="x-low")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--skip-build", action="store_true",
+                    help="Reuse an existing dataset in --out")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if not args.skip_build:
+        build_dataset(args.out, args.quality, args.seed)
+
+    from piper_tpu.train.__main__ import main as train_main
+
+    t0 = time.perf_counter()
+    train_main([
+        "--dataset-dir", str(args.out),
+        "--quality", args.quality,
+        "--batch-size", str(args.batch_size),
+        "--max-steps", str(args.steps),
+        "--checkpoint-steps", str(max(args.steps // 2, 1)),
+        "--validate-steps", str(max(args.steps // 2, 1)),
+        "--log-steps", "25",
+        "--single-bucket",  # exactly one train-step compilation
+        "--seed", str(args.seed + 1),  # student != teacher init
+    ])
+    train_s = time.perf_counter() - t0
+
+    # Summarize the loss trajectory for the docs.
+    metrics = [
+        json.loads(l)
+        for l in (args.out / "ckpt" / "metrics.jsonl").read_text().splitlines()
+    ]
+    steps = [m for m in metrics if "loss_mel" in m]
+    vals = [m for m in metrics if "val_mel_l1" in m]
+    first, last = steps[0], steps[-1]
+    summary = {
+        "train_wall_s": round(train_s, 1),
+        "steps": last["step"],
+        "loss_mel_first": first["loss_mel"],
+        "loss_mel_last": last["loss_mel"],
+        "loss_gen_first": first["loss_gen_all"],
+        "loss_gen_last": last["loss_gen_all"],
+        "val_mel_l1": [
+            {"step": v["step"], "val_mel_l1": v["val_mel_l1"]} for v in vals
+        ],
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,16 +2,21 @@
 
 Counterpart of the reference exporters (export_onnx.py,
 export_torchscript.py, export_generator.py): converts any loadable
-voice/checkpoint into the native .npz artifact + voice JSON sidecar —
-the long-term serving format of this framework (the model graph IS the
-framework, so no ONNX/TorchScript interchange is needed; ONNX voices
-are an *input* format via weights/onnx_loader.py).
+voice/checkpoint into
+  - the native .npz artifact + voice JSON sidecar (the long-term
+    serving format of this framework), or
+  - a piper-compatible .onnx (--format onnx, onnx_io/graph.py): same
+    input/output contract as the reference export (export_onnx.py:
+    88-101), so voices trained here run under the original piper
+    runtimes (onnxruntime C++/Python).
 
 Usage:
   python -m piper_tpu.export --input epoch=...ckpt --config config.json \
       --output voice.npz
   python -m piper_tpu.export --input en_US-lessac-medium.onnx \
       --output voice.npz          # config auto-found at <input>.json
+  python -m piper_tpu.export --input voice.npz --format onnx \
+      --output voice.onnx         # deploy back into the piper ecosystem
 """
 
 from __future__ import annotations
@@ -31,7 +36,10 @@ def main(argv=None) -> None:
                    help=".ckpt (piper_train Lightning), .onnx (piper voice), "
                         "or .npz")
     p.add_argument("--config", help="Voice JSON config (default: <input>.json)")
-    p.add_argument("--output", required=True, help="Output .npz path")
+    p.add_argument("--output", required=True, help="Output path")
+    p.add_argument("--format", choices=("npz", "onnx"), default="npz",
+                   help="Output artifact: native .npz (default) or a "
+                        "piper-compatible .onnx")
     p.add_argument("--include-posterior", action="store_true",
                    help="Keep the posterior encoder (needed for voice "
                         "conversion; .ckpt inputs only)")
@@ -65,7 +73,12 @@ def main(argv=None) -> None:
     else:
         raise SystemExit(f"unsupported input format: {input_path}")
 
-    save_native(args.output, params, cfg)
+    if args.format == "onnx":
+        from .onnx_io import export_onnx_voice
+
+        export_onnx_voice(params, cfg, args.output)
+    else:
+        save_native(args.output, params, cfg)
     _LOGGER.info("Wrote %s", args.output)
 
     # Copy/derive the voice JSON sidecar next to the output.

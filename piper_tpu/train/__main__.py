@@ -100,6 +100,13 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint-steps", type=int, default=2000)
     p.add_argument("--log-steps", type=int, default=50)
     p.add_argument("--max-phoneme-ids", type=int)
+    p.add_argument("--max-spec-frames", type=int, default=2048,
+                   help="Skip utterances longer than this many spectrogram "
+                        "frames")
+    p.add_argument("--single-bucket", action="store_true",
+                   help="Pad every batch to one (phoneme, frame) shape: "
+                        "one train-step compilation instead of one per "
+                        "bucket pair (use on cold caches / slow compiles)")
     p.add_argument("--learning-rate", type=float, default=2e-4)
     p.add_argument("--grad-clip", type=float)
     p.add_argument("--seed", type=int, default=1234)
@@ -172,6 +179,8 @@ def main(argv=None) -> None:
         segment_size=cfg.segment_size,
         multispeaker=cfg.num_speakers > 1,
         seed=args.seed,
+        max_spec_frames=args.max_spec_frames,
+        single_shape=args.single_bucket,
     )
 
     steps_per_epoch = max(len(train_utts) // args.batch_size, 1)
@@ -291,12 +300,19 @@ def _validate(
     sample_dir.mkdir(parents=True, exist_ok=True)
     mel_l1 = []
     for i, utt in enumerate(val_utts[:5]):
-        ids = jnp.asarray(
-            np.asarray(utt.phoneme_ids, np.int32)[None, :]
-        )
-        lengths = jnp.asarray([len(utt.phoneme_ids)], jnp.int32)
+        # pad phoneme ids to a bucketed length (masked via `lengths`)
+        # so validation reuses a handful of compiled infer shapes
+        n_ids = len(utt.phoneme_ids)
+        t_pad = -(-n_ids // 64) * 64
+        ids_np = np.zeros((1, t_pad), np.int32)
+        ids_np[0, :n_ids] = utt.phoneme_ids
+        ids = jnp.asarray(ids_np)
+        lengths = jnp.asarray([n_ids], jnp.int32)
         ref_audio = np.load(utt.audio_norm_path).astype(np.float32)
-        max_frames = max(len(ref_audio) // a.hop_length * 2, 128)
+        # round the frame budget up to a multiple of 512 so validation
+        # compiles a handful of infer shapes, not one per utterance
+        want = max(len(ref_audio) // a.hop_length * 2, 128)
+        max_frames = -(-want // 512) * 512
         sid = (
             jnp.asarray([utt.speaker_id], jnp.int32)
             if utt.speaker_id is not None and cfg.num_speakers > 1

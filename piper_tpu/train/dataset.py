@@ -86,6 +86,7 @@ class BucketedLoader:
         seed: int = 1234,
         max_spec_frames: int = 2048,
         drop_last: bool = False,
+        single_shape: bool = False,
     ):
         self.utterances = list(utterances)
         self.batch_size = batch_size
@@ -99,6 +100,19 @@ class BucketedLoader:
         self.frame_buckets = bucket_ladder(64, max_spec_frames)
         # Pre-read spec lengths lazily on first epoch
         self._spec_frames: Dict[int, int] = {}
+        if single_shape:
+            # One (phoneme, frame) shape for the whole dataset: more
+            # padded compute per step, but exactly ONE train-step
+            # compilation — the right trade on cold caches / slow
+            # compile links (each bucket pair otherwise compiles the
+            # full GAN step).
+            max_p = max(len(u.phoneme_ids) for u in self.utterances)
+            max_f = max(
+                min(self._frames_of(i), max_spec_frames)
+                for i in range(len(self.utterances))
+            )
+            self.phoneme_buckets = [-(-max_p // 16) * 16]
+            self.frame_buckets = [-(-max_f // 16) * 16]
 
     def _frames_of(self, i: int) -> int:
         if i not in self._spec_frames:

@@ -119,10 +119,6 @@ def cache_norm_audio(
     norm_audio/__init__.py:33-38 uses the same scheme with .pt files).
     Returns (audio_norm_path, audio_spec_path).
     """
-    import jax.numpy as jnp
-
-    from ..ops.stft import spectrogram
-
     audio_path = Path(audio_path)
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
@@ -149,13 +145,42 @@ def cache_norm_audio(
         audio = audio * (0.95 / max(peak, 0.95))
     np.save(norm_path, audio.astype(np.float32))
 
-    spec = np.asarray(
-        spectrogram(
-            jnp.asarray(audio[None, :]),
-            n_fft=audio_cfg.filter_length,
-            hop_length=audio_cfg.hop_length,
-            win_length=audio_cfg.win_length,
-        )[0]
+    spec = spectrogram_np(
+        audio,
+        n_fft=audio_cfg.filter_length,
+        hop_length=audio_cfg.hop_length,
+        win_length=audio_cfg.win_length,
     )
     np.save(spec_path, spec.astype(np.float32))
     return norm_path, spec_path
+
+
+def spectrogram_np(
+    audio: np.ndarray, *, n_fft: int, hop_length: int, win_length: int
+) -> np.ndarray:
+    """Numpy twin of ops/stft.spectrogram for the host-side cache.
+
+    The jitted version would recompile per audio length — preprocessing
+    sees a new length per utterance, so the cache writer stays on the
+    host (same math: reflect pad, periodic hann, rfft magnitude with
+    the reference's 1e-6 floor; tested equal in tests/test_mas_stft.py).
+    Returns (n_frames, n_fft//2+1).
+    """
+    from ..ops.stft import hann_window
+
+    pad = (n_fft - hop_length) // 2
+    y = np.pad(audio.astype(np.float32), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop_length
+    idx = (
+        np.arange(n_fft)[None, :]
+        + hop_length * np.arange(n_frames)[:, None]
+    )
+    frames = y[idx]
+    win = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        win = np.pad(win, (lpad, n_fft - win_length - lpad))
+    spec = np.fft.rfft(frames * win[None, :], n=n_fft, axis=-1)
+    return np.sqrt(
+        np.square(spec.real) + np.square(spec.imag) + 1e-6
+    ).astype(np.float32)

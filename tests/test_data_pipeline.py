@@ -140,6 +140,27 @@ def test_bucketed_loader_and_train_step(preprocessed):
     assert np.isfinite(float(metrics["loss_disc_all"]))
 
 
+def test_bucketed_loader_single_shape(preprocessed):
+    """single_shape=True pads every batch to one (phoneme, frame)
+    shape — exactly one train-step compilation."""
+    utts = load_dataset([preprocessed / "dataset.jsonl"])
+    loader = BucketedLoader(
+        utts, batch_size=3, hop_length=256, segment_size=4096, seed=0,
+        single_shape=True,
+    )
+    batches = list(loader)
+    assert sum(b["ids"].shape[0] for b in batches) == len(utts)
+    shapes = {(b["ids"].shape[1], b["spec"].shape[1]) for b in batches}
+    assert len(shapes) == 1
+    (pb, fb), = shapes
+    assert pb % 16 == 0 and fb % 16 == 0
+    assert pb >= max(len(u.phoneme_ids) for u in utts)
+    # every utterance still fits its row
+    for b in batches:
+        assert np.all(b["id_lengths"] <= pb)
+        assert np.all(b["spec_lengths"] <= fb)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from piper_tpu.train.__main__ import restore_checkpoint, save_checkpoint
     from piper_tpu.train.step import init_train_state
