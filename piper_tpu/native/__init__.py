@@ -18,9 +18,29 @@ import numpy as np
 _LOGGER = logging.getLogger(__name__)
 
 _CSRC = Path(__file__).parent.parent.parent / "csrc"
+# Installed-wheel location: setup.py compiles the library next to this
+# module; the csrc/ source-tree location is the development fallback.
+_PKG_LIB = Path(__file__).parent / "libpiper_tpu_native.so"
 _LIB_PATH = _CSRC / "libpiper_tpu_native.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _find_lib() -> Optional[Path]:
+    if _PKG_LIB.exists():
+        return _PKG_LIB
+    src = _CSRC / "piper_tpu_native.cpp"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if (not _LIB_PATH.exists() or stale) and (_CSRC / "Makefile").exists():
+        subprocess.run(
+            ["make", "-C", str(_CSRC), "clean", "all"], check=True,
+            capture_output=True, timeout=120,
+        )
+    return _LIB_PATH if _LIB_PATH.exists() else None
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -29,19 +49,9 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        src = _CSRC / "piper_tpu_native.cpp"
-        stale = (
-            _LIB_PATH.exists()
-            and src.exists()
-            and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
-        )
-        if (not _LIB_PATH.exists() or stale) and (_CSRC / "Makefile").exists():
-            subprocess.run(
-                ["make", "-C", str(_CSRC), "clean", "all"], check=True,
-                capture_output=True, timeout=120,
-            )
-        if _LIB_PATH.exists():
-            lib = ctypes.CDLL(str(_LIB_PATH))
+        lib_path = _find_lib()
+        if lib_path is not None:
+            lib = ctypes.CDLL(str(lib_path))
             lib.pt_peak_abs.restype = ctypes.c_float
             lib.pt_peak_abs.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64

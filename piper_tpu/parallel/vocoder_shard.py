@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import ModelConfig
 from ..models.vits import flow as F
@@ -89,6 +89,6 @@ def sharded_vocode(
         mesh=mesh,
         in_specs=(P(), P(None, axis, None), P(None, axis, None), g_spec),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, z_p, y_mask, g)
