@@ -29,7 +29,7 @@ def _signed(v: int) -> int:
 def _parse_attribute(buf: memoryview) -> Tuple[str, Any]:
     name = ""
     a_type = None
-    f = i = s = t = None
+    f = i = s = t = g = None
     floats: List[float] = []
     ints: List[int] = []
     for field, wire, val in _fields(buf):
@@ -43,6 +43,8 @@ def _parse_attribute(buf: memoryview) -> Tuple[str, Any]:
             s = bytes(val).decode("utf-8")
         elif field == 5 and wire == 2:
             t = _parse_tensor(val)[1]
+        elif field == 6 and wire == 2:
+            g = _parse_graph(val)
         elif field == 7:
             if wire == 5:
                 floats.append(float(np.frombuffer(bytes(val), "<f4")[0]))
@@ -67,15 +69,42 @@ def _parse_attribute(buf: memoryview) -> Tuple[str, Any]:
         return name, s
     if a_type == 4:
         return name, t
+    if a_type == 5:
+        return name, g
     if a_type == 6:
         return name, [float(x) for x in floats]
     if a_type == 7:
         return name, [int(x) for x in ints]
     # untyped (legacy): best-effort
-    for v in (i, f, s, t):
+    for v in (i, f, s, t, g):
         if v is not None:
             return name, v
     return name, ints or floats
+
+
+class Subgraph:
+    """Parsed GraphProto for subgraph attributes (If branches)."""
+
+    def __init__(self):
+        self.nodes: List[Tuple[str, List[str], List[str], Dict[str, Any]]] = []
+        self.initializers: Dict[str, np.ndarray] = {}
+        self.input_names: List[str] = []
+        self.output_names: List[str] = []
+
+
+def _parse_graph(buf: memoryview) -> "Subgraph":
+    g = Subgraph()
+    for gf, gw, gv in _fields(buf):
+        if gf == 1 and gw == 2:
+            g.nodes.append(_parse_node_full(gv))
+        elif gf == 5 and gw == 2:
+            name, arr = _parse_tensor(gv)
+            g.initializers[name] = arr
+        elif gf == 11 and gw == 2:
+            g.input_names.append(_parse_value_info(gv))
+        elif gf == 12 and gw == 2:
+            g.output_names.append(_parse_value_info(gv))
+    return g
 
 
 def _parse_node_full(buf: memoryview):
@@ -198,6 +227,34 @@ def _reduce(x, op, axes, keepdims):
     return op(x, axis=axes_t, keepdims=bool(keepdims))
 
 
+def _lstm(x, w, r, b, h0, c0):
+    """ONNX LSTM, one forward layer with spec-default activations
+    (sigmoid/tanh/tanh) and iofc gate order; no peepholes/clip.
+    x (T,B,I), w (1,4H,I), r (1,4H,H), b (1,8H), h0/c0 (1,B,H)."""
+    w2, r2 = w[0], r[0]
+    hsz = r2.shape[1]
+    if b is not None:
+        bias = b[0][: 4 * hsz] + b[0][4 * hsz :]
+    else:
+        bias = np.zeros(4 * hsz, np.float32)
+    h, c = h0[0], c0[0]
+
+    def sig(v):
+        return np.where(v >= 0, 1.0 / (1.0 + np.exp(-v)),
+                        np.exp(v) / (1.0 + np.exp(v)))
+
+    ys = []
+    for t in range(x.shape[0]):
+        gates = x[t] @ w2.T + h @ r2.T + bias
+        i_g, o_g, f_g, c_g = np.split(gates, 4, axis=-1)
+        c = sig(f_g) * c + sig(i_g) * np.tanh(c_g)
+        h = sig(o_g) * np.tanh(c)
+        ys.append(h)
+    y = np.stack(ys)[:, None]  # (T, num_directions=1, B, H)
+    return (y.astype(np.float32), h[None].astype(np.float32),
+            c[None].astype(np.float32))
+
+
 def run(
     model: OnnxModel,
     feeds: Dict[str, np.ndarray],
@@ -213,8 +270,16 @@ def run(
     env.update(model.initializers)
     for k, v in feeds.items():
         env[k] = np.asarray(v)
+    _exec_nodes(model.nodes, env, rng)
+    names = list(outputs) if outputs is not None else model.output_names
+    return [env[n] for n in names]
 
-    for op, ins, outs, attrs in model.nodes:
+
+def _exec_nodes(nodes, env: Dict[str, np.ndarray], rng) -> None:
+    """Execute a node list against env (in place). Subgraphs (If
+    branches) read the outer scope per the ONNX spec; their interior
+    values stay in a child env."""
+    for op, ins, outs, attrs in nodes:
         def I(j: int, default=None):  # noqa: E743
             if j >= len(ins) or ins[j] == "":
                 return default
@@ -379,10 +444,14 @@ def run(
             n = x.ndim
             cval = I(2)
             width = [(pads[i], pads[i + n]) for i in range(n)]
-            r = np.pad(
-                x, width, mode=a("mode", "constant"),
-                constant_values=0 if cval is None else float(cval),
-            )
+            mode = a("mode", "constant")
+            if mode == "constant":
+                r = np.pad(
+                    x, width,
+                    constant_values=0 if cval is None else float(cval),
+                )
+            else:
+                r = np.pad(x, width, mode=mode)
         elif op == "Split":
             x = I(0)
             ax = a("axis", 0)
@@ -400,9 +469,30 @@ def run(
                 _DTYPE_OF_CODE[a("dtype")] if a("dtype") else x.dtype
             )
             r = r * a("scale", 1.0) + a("mean", 0.0)
+        elif op == "GlobalAveragePool":
+            x = I(0)
+            r = np.mean(
+                x, axis=tuple(range(2, x.ndim)), keepdims=True
+            ).astype(x.dtype)
+        elif op == "If":
+            cond = bool(np.asarray(I(0)).reshape(-1)[0])
+            sub = attrs["then_branch"] if cond else attrs["else_branch"]
+            child = dict(env)
+            child.update(sub.initializers)
+            _exec_nodes(sub.nodes, child, rng)
+            for name, oname in zip(outs, sub.output_names):
+                env[name] = child[oname]
+            continue
+        elif op == "LSTM":
+            if a("direction", "forward") != "forward":
+                raise NotImplementedError("only forward LSTM supported")
+            y, y_h, y_c = _lstm(
+                I(0).astype(np.float32), I(1), I(2), I(3), I(5), I(6)
+            )
+            for name, val in zip(outs, (y, y_h, y_c)):
+                if name:
+                    env[name] = val
+            continue
         else:
             raise NotImplementedError(f"op {op}")
         env[outs[0]] = np.asarray(r)
-
-    names = list(outputs) if outputs is not None else model.output_names
-    return [env[n] for n in names]

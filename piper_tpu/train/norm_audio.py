@@ -7,17 +7,18 @@ audio and its spectrogram, keyed by content hash.
 
 Departures:
 - caches are .npy (numpy) instead of torch .pt;
-- the VAD is energy-based by default (the reference bundles a Silero
-  ONNX model and runs it through onnxruntime, which is gated here: if
-  `onnxruntime` and a silero model are available they are used,
-  otherwise the energy VAD applies the same chunked keep-window
-  policy).
+- the bundled Silero VAD model (train/models/silero_vad.onnx — the
+  same third-party model the reference vendors) runs through
+  piper_tpu's own ONNX interpreter (onnx_io/interp.py), so trims match
+  the reference without needing onnxruntime; an energy VAD remains as
+  an explicit opt-in fallback (`vad="energy"`).
 - resampling uses polyphase filtering (scipy) instead of librosa.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import wave
 from pathlib import Path
 from typing import Optional, Tuple, Union
@@ -30,6 +31,55 @@ CHUNK_SAMPLES = 480  # reference trim.py chunking @16k
 KEEP_CHUNKS_BEFORE = 2
 KEEP_CHUNKS_AFTER = 2
 VAD_SAMPLE_RATE = 16000
+VAD_THRESHOLD = 0.2  # reference trim.py:11
+_SILERO_PATH = Path(__file__).parent / "models" / "silero_vad.onnx"
+
+
+class SileroVAD:
+    """Silero voice-activity detector executed by onnx_io.interp
+    (reference: norm_audio/vad.py:14-54, which uses onnxruntime).
+
+    Stateful across chunks: the LSTM h/c states carry between calls,
+    exactly like the reference's session-held `self._h/_c`.
+    """
+
+    def __init__(self, model_path: Optional[Union[str, Path]] = None):
+        from ..onnx_io.interp import OnnxModel
+
+        path = Path(
+            model_path
+            or os.environ.get("PIPER_TPU_SILERO_VAD", _SILERO_PATH)
+        )
+        self.model = OnnxModel(str(path))
+        self.reset()
+
+    def reset(self) -> None:
+        self._h = np.zeros((2, 1, 64), np.float32)
+        self._c = np.zeros((2, 1, 64), np.float32)
+
+    def __call__(self, chunk: np.ndarray, sample_rate: int = 16000) -> float:
+        """Probability of speech in a 16 kHz float chunk [0-1]."""
+        if sample_rate != VAD_SAMPLE_RATE:
+            raise ValueError("only 16 kHz audio is supported")
+        from ..onnx_io.interp import run
+
+        if chunk.ndim == 1:
+            chunk = chunk[None, :]
+        out, self._h, self._c = run(
+            self.model,
+            {"input": chunk.astype(np.float32),
+             "h0": self._h, "c0": self._c},
+        )
+        # out (1, 2, 1): [:, 1] is the speech-class probability
+        # (reference vad.py:51).
+        return float(out.squeeze(2)[0, 1])
+
+
+def make_silence_detector(
+    model_path: Optional[Union[str, Path]] = None,
+) -> SileroVAD:
+    """Counterpart of reference norm_audio/__init__.py:16-18."""
+    return SileroVAD(model_path)
 
 
 def load_audio(path: Union[str, Path], target_sr: int) -> np.ndarray:
@@ -61,6 +111,46 @@ def resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
 
     g = gcd(sr, target_sr)
     return resample_poly(audio, target_sr // g, sr // g).astype(np.float32)
+
+
+def trim_silence_vad(
+    audio_16k: np.ndarray,
+    detector: SileroVAD,
+    *,
+    threshold: float = VAD_THRESHOLD,
+    samples_per_chunk: int = CHUNK_SAMPLES,
+    keep_chunks_before: int = KEEP_CHUNKS_BEFORE,
+    keep_chunks_after: int = KEEP_CHUNKS_AFTER,
+) -> Tuple[float, Optional[float]]:
+    """(offset_sec, duration_sec) of the speech block, with the exact
+    chunking/keep-window behavior of the reference trim
+    (norm_audio/trim.py:8-54), including its two edge quirks: the final
+    partial chunk is never scored, and a single speech chunk (no second
+    hit to set the block end) leaves the audio untrimmed.
+
+    The detector is stateful across chunks and across calls (the
+    reference holds one ORT session per preprocessing worker and never
+    resets h/c between utterances)."""
+    seconds_per_chunk = samples_per_chunk / VAD_SAMPLE_RATE
+    first_chunk: Optional[int] = None
+    last_chunk: Optional[int] = None
+    n_full = len(audio_16k) // samples_per_chunk
+    rem = len(audio_16k) - n_full * samples_per_chunk
+    # chunk i is scored iff audio remains after it was taken
+    n_scored = n_full if rem > 0 else n_full - 1
+    for idx in range(max(n_scored, 0)):
+        chunk = audio_16k[idx * samples_per_chunk:(idx + 1) * samples_per_chunk]
+        if detector(chunk) >= threshold:
+            if first_chunk is None:
+                first_chunk = idx
+            else:
+                last_chunk = idx
+    if first_chunk is None or last_chunk is None:
+        return 0.0, None
+    first_chunk = max(0, first_chunk - keep_chunks_before)
+    last_chunk = min(n_scored, last_chunk + keep_chunks_after)
+    offset_sec = first_chunk * seconds_per_chunk
+    return offset_sec, (last_chunk + 1) * seconds_per_chunk - offset_sec
 
 
 def energy_vad(chunk: np.ndarray, threshold: float) -> bool:
@@ -106,17 +196,33 @@ def trim_silence(
     return first * chunk_samples, last * chunk_samples
 
 
+_PROCESS_DETECTOR: Optional[SileroVAD] = None
+
+
+def _default_detector() -> Optional[SileroVAD]:
+    """One stateful detector per process (the reference builds one ORT
+    session per preprocessing worker, preprocess.py:209-219)."""
+    global _PROCESS_DETECTOR
+    if _PROCESS_DETECTOR is None and _SILERO_PATH.exists():
+        _PROCESS_DETECTOR = SileroVAD()
+    return _PROCESS_DETECTOR
+
+
 def cache_norm_audio(
     audio_path: Union[str, Path],
     cache_dir: Union[str, Path],
     audio_cfg: AudioConfig,
     *,
     do_trim: bool = True,
+    vad: str = "silero",
+    detector: Optional[SileroVAD] = None,
 ) -> Tuple[Path, Path]:
     """Normalize audio_path and cache (audio.npy, spec.npy).
 
     Cache keys are sha256 of the absolute path (reference
     norm_audio/__init__.py:33-38 uses the same scheme with .pt files).
+    vad: "silero" (default; reference-identical trims via the bundled
+    model under onnx_io.interp) or "energy" (model-free fallback).
     Returns (audio_norm_path, audio_spec_path).
     """
     audio_path = Path(audio_path)
@@ -130,10 +236,23 @@ def cache_norm_audio(
 
     if do_trim:
         audio_16k = load_audio(audio_path, VAD_SAMPLE_RATE)
-        start16, end16 = trim_silence(audio_16k)
-        scale = audio_cfg.sample_rate / VAD_SAMPLE_RATE
-        start = int(start16 * scale)
-        end = int(end16 * scale)
+        if vad == "silero":
+            det = detector or _default_detector()
+        else:
+            det = None
+        if det is not None:
+            offset_sec, duration_sec = trim_silence_vad(audio_16k, det)
+            start = int(offset_sec * audio_cfg.sample_rate)
+            end = (
+                start + int(duration_sec * audio_cfg.sample_rate)
+                if duration_sec is not None
+                else None
+            )
+        else:
+            start16, end16 = trim_silence(audio_16k)
+            scale = audio_cfg.sample_rate / VAD_SAMPLE_RATE
+            start = int(start16 * scale)
+            end = int(end16 * scale)
     else:
         start, end = 0, None
 

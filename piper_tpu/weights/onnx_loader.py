@@ -136,7 +136,9 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
         arr = np.asarray(int32s, np.int32)
     else:
         arr = np.zeros(0, dtype)
-    return name, arr.reshape(dims) if dims else arr
+    # Empty dims on a one-element tensor is a true ONNX scalar (rank 0);
+    # rank matters for ops like Gather/Unsqueeze in the interpreter.
+    return name, arr.reshape(dims) if (dims or arr.size == 1) else arr
 
 
 def _parse_node(buf: memoryview) -> Tuple[List[str], List[str], str]:
