@@ -469,6 +469,34 @@ def _exec_nodes(nodes, env: Dict[str, np.ndarray], rng) -> None:
                 _DTYPE_OF_CODE[a("dtype")] if a("dtype") else x.dtype
             )
             r = r * a("scale", 1.0) + a("mean", 0.0)
+        elif op == "Softplus":
+            x = I(0)
+            r = (np.maximum(x, 0) + np.log1p(np.exp(-np.abs(x)))).astype(
+                x.dtype
+            )
+        elif op == "NonZero":
+            r = np.stack(np.nonzero(I(0))).astype(np.int64)
+        elif op == "GatherND":
+            data, idx = I(0), I(1).astype(np.int64)
+            bd = a("batch_dims", 0)
+            if bd == 0:
+                r = data[tuple(np.moveaxis(idx, -1, 0))]
+            else:
+                bshape = data.shape[:bd]
+                flat_d = data.reshape((-1,) + data.shape[bd:])
+                flat_i = idx.reshape((-1,) + idx.shape[bd:])
+                r = np.stack([
+                    flat_d[j][tuple(np.moveaxis(flat_i[j], -1, 0))]
+                    for j in range(flat_d.shape[0])
+                ]).reshape(bshape + idx.shape[bd:-1] + data.shape[
+                    bd + idx.shape[-1]:
+                ])
+        elif op == "ScatterND":
+            data, idx, upd = I(0).copy(), I(1).astype(np.int64), I(2)
+            if a("reduction", "none") != "none":
+                raise NotImplementedError("ScatterND reduction")
+            data[tuple(np.moveaxis(idx, -1, 0))] = upd
+            r = data
         elif op == "GlobalAveragePool":
             x = I(0)
             r = np.mean(
