@@ -3,9 +3,10 @@
 Behavioral parity with the reference downloader
 (src/python_run/piper/download.py:23-139): voices.json registry from
 the HuggingFace piper-voices repo, per-file size + md5 validation,
-alias resolution handled by the CLI. Unlike the reference we embed no
-registry copy — it is fetched once with --update-voices (or supplied
-locally) and cached in the download dir.
+alias resolution handled by the CLI. Like the reference (which vendors
+voices.json), an embedded registry snapshot
+(runtime/data/voices_registry.json, 97 voices) makes name resolution
+work offline on first use; --update-voices fetches a fresh copy.
 
 Downloaded .onnx voices load through weights/onnx_loader.py.
 """
@@ -39,20 +40,34 @@ def get_file_hash(path: Union[str, Path], bytes_per_chunk: int = 8192) -> str:
     return h.hexdigest()
 
 
+_EMBEDDED_REGISTRY = Path(__file__).parent / "data" / "voices_registry.json"
+
+
 def get_voices(
     download_dir: Union[str, Path], update_voices: bool = False
 ) -> Dict[str, Any]:
-    """Load the voices.json registry (downloading it if requested)."""
+    """Load the voices.json registry.
+
+    Resolution order: freshly downloaded copy (update_voices=True) >
+    cached copy in download_dir > embedded snapshot (works offline,
+    like the reference's vendored voices.json)."""
     download_dir = Path(download_dir)
     voices_path = download_dir / "voices.json"
-    if update_voices or not voices_path.exists():
+    if update_voices or (
+        not voices_path.exists() and not _EMBEDDED_REGISTRY.exists()
+    ):
         url = URL_FORMAT.format(file="voices.json")
         _LOGGER.info("Downloading %s -> %s", url, voices_path)
         voices_path.parent.mkdir(parents=True, exist_ok=True)
         with urlopen(url) as resp, open(voices_path, "wb") as f:
             shutil.copyfileobj(resp, f)
-    with open(voices_path, "r", encoding="utf-8") as f:
-        return json.load(f)
+    if voices_path.exists():
+        with open(voices_path, "r", encoding="utf-8") as f:
+            return json.load(f)
+    from ..tools.make_registry import expand
+
+    with open(_EMBEDDED_REGISTRY, "r", encoding="utf-8") as f:
+        return expand(json.load(f))
 
 
 def ensure_voice_exists(

@@ -74,6 +74,34 @@ def _sdp_flowlist(sd: StateDict, prefix: str, p: Params) -> None:
         _dense(sd, f"{name}.proj", cf["proj"])
 
 
+def to_torch_state_dict(
+    params: Params, cfg: ModelConfig, target_keys, *, inference_only=False
+) -> StateDict:
+    """State dict loadable by the reference torch SynthesizerTrn
+    (which wraps many convs in weight_norm: piper_train modules.py,
+    models.py). `target_keys` is the torch model's state_dict() key
+    set; for every `X.weight` we hold that the model expects as
+    `X.weight_g`/`X.weight_v`, emit the (g, v) pair that reconstructs
+    W exactly: v = W, g = ||W|| over dims != 0 (torch weight_norm
+    dim=0 semantics) — W' = g * v/||v|| = W.
+
+    Enables: trained-weight parity oracles, and fine-tuning a
+    TPU-trained voice under the original piper_train."""
+    target_keys = set(target_keys)
+    flat = state_dict_from_params(params, cfg, inference_only=inference_only)
+    out: StateDict = {}
+    for name, w in flat.items():
+        base = name[: -len(".weight")] if name.endswith(".weight") else None
+        if base is not None and f"{base}.weight_v" in target_keys:
+            axes = tuple(range(1, w.ndim))
+            g = np.sqrt(np.sum(np.square(w), axis=axes, keepdims=True))
+            out[f"{base}.weight_g"] = g.astype(np.float32)
+            out[f"{base}.weight_v"] = w.astype(np.float32)
+        else:
+            out[name] = w
+    return out
+
+
 def state_dict_from_params(
     params: Params, cfg: ModelConfig, *, inference_only: bool = True
 ) -> StateDict:
