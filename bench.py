@@ -61,17 +61,24 @@ def main():
     # and one duration sync per batch); fine frame buckets minimize
     # padded device->host audio bytes — the bottleneck on tunneled
     # chips is the host link, and compute hides behind it.
+    # decode_grouping="uniform": the tunneled host link makes dispatch
+    # round-trips, not FLOPs, the scarce resource — one decode shape
+    # per frame bucket, ~4 dispatches per batch, minimal cold start.
     voice = TpuVoice.random(
         args.quality, num_symbols=256, seed=0, precision=args.precision,
         vocoder=args.vocoder, variant=args.variant,
         phoneme_buckets=[512],
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
+        decode_grouping="uniform",
     )
     sr = voice.config.sample_rate
     syn = SynthesisConfig(seed=0)
 
-    # Warmup (compilation)
+    # Warmup (compilation): warm-everything path — heavy vocode shapes
+    # compile concurrently and persist in the compilation cache, so a
+    # later process's cold start is seconds (docs/BENCH_NOTES.md).
     t0 = time.perf_counter()
+    voice.warmup((args.batch,), full=True)
     out = voice.synthesize_ids_batch(ids_list, syn=syn)
     load_sec = time.perf_counter() - t0
 

@@ -172,22 +172,28 @@ def synthesizer_vocode(
     *,
     cfg: ModelConfig,
     sid: Optional[jnp.ndarray] = None,
+    g: Optional[jnp.ndarray] = None,
+    tm_interpret: bool = False,
 ) -> jnp.ndarray:
     """Flow reverse + HiFiGAN (models.py:719-720): z_p -> waveform.
 
     This is the chunkable stage for streaming synthesis (the
     reference's VitsDecoder split, export_onnx_streaming.py:61-69).
+    Pass either `sid` (speaker ids) or a precomputed `g` embedding
+    (shard_map callers, where the row-local g is computed outside).
     """
-    g = speaker_embedding(params, cfg, sid)
+    if g is None:
+        g = speaker_embedding(params, cfg, sid)
     z = F.flow_apply(params["flow"], z_p, y_mask, cfg=cfg, g=g, reverse=True)
     if "dec_tm" in params and cfg.vocoder != "mb_istft":
         # Time-major Pallas fast path (see generator.prepare_tm):
         # attached to the param tree by the serving runtime when the
-        # backend supports it (TPU, single device).
+        # backend supports it (TPU; under a mesh the caller wraps this
+        # in shard_map — pallas_call is not GSPMD-partitionable).
         frame_lengths = jnp.sum(y_mask[..., 0].astype(jnp.int32), axis=1)
         return G.generator_tm_apply(
             params["dec"], params["dec_tm"], z * y_mask, frame_lengths,
-            cfg=cfg, g=g,
+            cfg=cfg, g=g, interpret=tm_interpret,
         )
     return apply_decoder(params, z * y_mask, y_mask, cfg=cfg, g=g)
 

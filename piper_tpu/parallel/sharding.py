@@ -54,6 +54,45 @@ def make_sharded_train_step(cfg: ModelConfig, tx, mesh: Mesh, **step_kw):
     )
 
 
+def vocode_data_parallel(
+    params,
+    z_p: jnp.ndarray,
+    y_mask: jnp.ndarray,
+    g,
+    *,
+    cfg: ModelConfig,
+    mesh: Mesh,
+    tm_interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-parallel flow-reverse + vocoder via shard_map over 'data'.
+
+    The serving decode uses this under a mesh so the time-major Pallas
+    vocoder (generator.generator_tm_apply) runs too: pallas_call is not
+    GSPMD-partitionable, but the batch rows are independent, so each
+    device vocodes its own rows. For the plain XLA vocoder this is
+    equivalent to the GSPMD partition (row-independent compute, no
+    cross-row collectives).
+    """
+    from jax import shard_map
+
+    from ..models.vits.model import synthesizer_vocode
+
+    def local(p, zp, ym, g_loc):
+        return synthesizer_vocode(
+            p, zp, ym, cfg=cfg, g=g_loc, tm_interpret=tm_interpret
+        )
+
+    g_spec = P("data") if g is not None else None
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), g_spec),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(params, z_p, y_mask, g)
+
+
 def make_sharded_infer(cfg: ModelConfig, mesh: Mesh, *, max_frames: int, dtype=jnp.float32):
     """Data-parallel fused inference over the mesh (batch axis sharded)."""
     from ..models.vits.model import infer

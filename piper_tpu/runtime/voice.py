@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+import math
 import threading
 import time
 import zlib
@@ -133,10 +134,22 @@ class TpuVoice:
         seed: Optional[int] = None,
         phonemizer: Optional[object] = None,
         mesh=None,
+        decode_grouping: str = "bucketed",
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis —
         batches are sharded across it (rows padded up to a multiple of
-        the axis size), params replicated; multi-chip serving."""
+        the axis size), params replicated; multi-chip serving.
+
+        `decode_grouping`:
+          "bucketed" (default): split each batch's rows into
+              frame-bucket groups — minimal decode FLOPs; best when
+              compute is the bottleneck (locally-attached chips).
+          "uniform": decode the whole batch at one frame bucket (the
+              max). Extra FLOPs on short rows, but the jit shape space
+              collapses to one per frame bucket and each batch costs
+              ~4 dispatches instead of ~2 per group — best when the
+              host link round-trips dominate (tunneled/remote chips)
+              and for minimal cold start."""
         _enable_compilation_cache()
         self.config = config
         self.model_cfg = model_cfg
@@ -147,16 +160,16 @@ class TpuVoice:
             jax.tree.map(lambda a: jnp.asarray(a), params)
         )
         # Time-major Pallas vocoder path: TPU-only (Mosaic kernels),
-        # single-device (the pallas_call is not partitioned under a
-        # mesh), fast precision (parity mode keeps the reference-shaped
-        # XLA graph). 2x decode throughput on v5e (see generator.py).
+        # fast precision (parity mode keeps the reference-shaped XLA
+        # graph). 2x decode throughput on v5e (see generator.py). Under
+        # a mesh the decode wraps it in shard_map (rows are
+        # independent; pallas_call is not GSPMD-partitionable).
         try:
             platform = jax.devices()[0].platform.lower()
         except Exception:  # pragma: no cover
             platform = "cpu"
         if (
             precision != "parity"
-            and mesh is None
             and model_cfg.vocoder != "mb_istft"
             and platform in ("tpu", "axon")
         ):
@@ -176,6 +189,9 @@ class TpuVoice:
         self._key_lock = threading.Lock()
         self.phonemizer = phonemizer
         self._multispeaker = model_cfg.num_speakers > 1
+        if decode_grouping not in ("bucketed", "uniform"):
+            raise ValueError(f"decode_grouping: {decode_grouping!r}")
+        self.decode_grouping = decode_grouping
 
         cfg = model_cfg
         dtype = self.dtype
@@ -204,7 +220,16 @@ class TpuVoice:
 
         fast_io = precision != "parity"
 
-        def decode_fn(params, enc, rows_idx, noise_scale, keys, sid, num_frames):
+        # The serving decode is two jits, not one: `latents` (row
+        # select + counter-mode noise + prior expansion) specializes on
+        # (phoneme bucket x frame bucket x rows) but compiles in ~a
+        # second; `vocode` (flow reverse + vocoder — where nearly all
+        # the compile time lives) specializes on (frame bucket x rows)
+        # only. This shrinks the heavy compile space from
+        # |pb|*|fb|*|rows| to |fb|*|rows| — the cold-start fix — at the
+        # cost of one extra dispatch per decode group.
+        def latents_fn(params, enc, rows_idx, noise_scale, keys, sid,
+                       num_frames):
             """rows_idx selects the frame-bucket's rows out of the full
             encode batch *inside* the jit — the per-array host gathers
             this replaces cost a dispatch each (~1 ms over a tunneled
@@ -229,19 +254,39 @@ class TpuVoice:
                     )(jnp.arange(num_frames))
 
                 frame_noise = jax.vmap(row_noise)(keys).astype(dtype)
-                audio, y_lengths = M.synthesizer_decode(
-                    params, enc, num_frames, cfg=cfg, noise_scale=noise_scale,
-                    sid=sid, frame_noise=frame_noise, dtype=dtype,
+                z_p, y_mask = M.synthesizer_latents(
+                    params, enc, num_frames, cfg=cfg,
+                    noise_scale=noise_scale, frame_noise=frame_noise,
+                    dtype=dtype,
                 )
+                g = M.speaker_embedding(params, cfg, sid)
+                y_lengths = jnp.sum(enc.durations, axis=-1)
+                return z_p, y_mask, g, y_lengths
+
+        def vocode_fn(params, z_p, y_mask, g):
+            with jax.default_matmul_precision(mm_prec):
+                if mesh is None:
+                    audio = M.synthesizer_vocode(
+                        params, z_p, y_mask, cfg=cfg, g=g
+                    )
+                else:
+                    # Row-parallel via shard_map so the Pallas
+                    # time-major fast path partitions too.
+                    from ..parallel.sharding import vocode_data_parallel
+
+                    audio = vocode_data_parallel(
+                        params, z_p, y_mask, g, cfg=cfg, mesh=mesh
+                    )
                 if fast_io:
                     # Device-side int16: halves the device->host bytes
                     # (tanh output is bounded in [-1, 1]).
                     audio = jnp.round(
-                        jnp.clip(audio.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                        jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
+                        * 32767.0
                     ).astype(jnp.int16)
                 else:
                     audio = audio.astype(jnp.float32)
-                return audio, y_lengths
+                return audio
 
         def pack_fn(audio_list, starts, total):
             """Compact every decode group's valid samples into one flat
@@ -310,14 +355,16 @@ class TpuVoice:
         self._fold_keys = jax.jit(
             jax.vmap(jax.random.fold_in, in_axes=(None, 0))
         )
-        self._pack = jax.jit(pack_fn, static_argnums=(2,))
-        self._pack2 = jax.jit(pack2_fn, static_argnums=(2, 3))
         # frames-per-id estimator for speculative decode buckets:
         # (mean, upper). None until the first exact batch calibrates.
         self._ratio: Optional[Tuple[float, float]] = None
         self._ratio_lock = threading.Lock()
 
         self.mesh = mesh
+        # Packed single-transfer collection works whenever this process
+        # can address the gathered buffer (single chip, or a
+        # single-host mesh); multi-host serving reads per-group shards.
+        self._use_pack = mesh is None or jax.process_count() == 1
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -329,14 +376,62 @@ class TpuVoice:
                 encode_fn,
                 in_shardings=(rep, data, data, None, None, data, data),
             )
-            self._decode = jax.jit(
-                decode_fn, static_argnums=(6,),
+            self._latents = jax.jit(
+                latents_fn, static_argnums=(6,),
                 in_shardings=(rep, data, None, None, data, data),
+                out_shardings=data,
+            )
+            self._vocode = self._vocode_nog = jax.jit(
+                vocode_fn, in_shardings=(rep, data, data, data),
+            )
+            # The packed buffer is gathered to every device (GSPMD
+            # all-gather over ICI) so the host pays ONE device->host
+            # transfer, same as single-chip serving.
+            self._pack = jax.jit(
+                pack_fn, static_argnums=(2,), out_shardings=rep
+            )
+            self._pack2 = jax.jit(
+                pack2_fn, static_argnums=(2, 3), out_shardings=rep
             )
         else:
             self._data_size = 1
             self._encode = jax.jit(encode_fn)
-            self._decode = jax.jit(decode_fn, static_argnums=(6,))
+            self._latents = jax.jit(latents_fn, static_argnums=(6,))
+            self._vocode = self._vocode_nog = jax.jit(vocode_fn)
+            self._pack = jax.jit(pack_fn, static_argnums=(2,))
+            self._pack2 = jax.jit(pack2_fn, static_argnums=(2, 3))
+
+    def _plan_decode_groups(self, frame_counts) -> List[Tuple[int, List[int]]]:
+        """[(frame_bucket, row_positions)] for one encode group's rows
+        (see decode_grouping)."""
+        if self.decode_grouping == "uniform":
+            fb = batching.pick_bucket(
+                max(int(f) for f in frame_counts), self.frame_buckets
+            )
+            return [(fb, list(range(len(frame_counts))))]
+        return batching.group_by_bucket(
+            [int(f) for f in frame_counts], self.frame_buckets
+        )
+
+    def _round_rows(self, n: int) -> int:
+        """Round a decode group's row count up to a power of two (and a
+        multiple of the data-axis size): bounds the jit shape space to
+        ~log2(B) row counts, so steady-state serving stops compiling
+        once warm and warmup() can enumerate every shape."""
+        p = 1
+        while p < n:
+            p <<= 1
+        return -(-p // self._data_size) * self._data_size
+
+    def _decode(self, params, enc, rows_idx, noise_scale, keys, sid,
+                num_frames):
+        """latents (cheap jit, pb x fb shapes) then vocode (heavy jit,
+        fb-only shapes); see the latents_fn/vocode_fn comment."""
+        z_p, y_mask, g, y_lengths = self._latents(
+            params, enc, rows_idx, noise_scale, keys, sid, num_frames
+        )
+        vocode = self._vocode if g is not None else self._vocode_nog
+        return vocode(params, z_p, y_mask, g), y_lengths
 
     # ------------------------------------------------------------------
     # Loading
@@ -523,7 +618,7 @@ class TpuVoice:
             lengths, self.phoneme_buckets
         ):
             b = len(indices)
-            b_pad = -(-b // ds) * ds
+            b_pad = self._round_rows(b)
             ids_arr = np.zeros((b_pad, bucket), np.int32)
             len_arr = np.ones((b_pad,), np.int32)
             for row, idx in enumerate(indices):
@@ -542,13 +637,13 @@ class TpuVoice:
             )
             encode_groups.append((indices, enc, frames_dev, keys, sid))
 
-        # Speculative path (steady-state single-device serving): frame
-        # buckets are chosen from the calibrated frames-per-id
+        # Speculative path (steady-state serving, single-chip or mesh):
+        # frame buckets are chosen from the calibrated frames-per-id
         # estimator, so submit() never waits on the device — the true
         # frame counts ride back in the packed transfer's header and
         # mispredictions are re-fetched exactly in collect().
         if (
-            self.mesh is None
+            self._use_pack
             and self.precision != "parity"
             and self._ratio is not None
             and encode_groups
@@ -583,11 +678,12 @@ class TpuVoice:
             )
 
         # Dispatch every decode (row selection fused into the decode
-        # jit). Single-device: all groups' valid samples are then
-        # compacted device-side into ONE flat buffer — one d->h
-        # transfer per batch, zero padding bytes (the host link is the
-        # serving bottleneck; see pack_fn). Mesh: per-group transfers
-        # (ICI-attached chips aren't link-bound).
+        # jit). Single-process (one chip or a single-host mesh): all
+        # groups' valid samples are then compacted device-side into ONE
+        # flat buffer — one d->h transfer per batch, zero padding bytes
+        # (the host link is the serving bottleneck; see pack_fn).
+        # Multi-host: per-group transfers (each host reads its
+        # addressable shards).
         decode_groups = []
         pack_audio: List[Any] = []
         # (result_index, out_start, n_samples) per packed row
@@ -599,16 +695,16 @@ class TpuVoice:
             encode_groups, frame_splits
         ):
             real_frames = frames[: len(indices)]
-            for fbucket, rows in batching.group_by_bucket(
-                real_frames.tolist(), self.frame_buckets
+            for fbucket, rows in self._plan_decode_groups(
+                real_frames.tolist()
             ):
-                pad_n = -(-len(rows) // ds) * ds - len(rows)
+                pad_n = self._round_rows(len(rows)) - len(rows)
                 rows_idx = jnp.asarray(rows + rows[:1] * pad_n)
                 audio, _y_lengths = self._decode(
                     self.params, enc, rows_idx, noise_scale,
                     keys, sid, int(fbucket),
                 )
-                if self.mesh is None:
+                if self._use_pack:
                     row_samples = int(fbucket) * u
                     for row_i, row in enumerate(rows):
                         n = int(real_frames[row]) * u
@@ -659,19 +755,29 @@ class TpuVoice:
 
     def _update_ratio(self, ratios: List[float]) -> None:
         """Track (mean, upper) frames-per-id: mean sizes the packed
-        transfer, upper picks decode buckets. Upper moves up fast (a
-        miss costs a re-decode) and decays slowly."""
+        transfer, upper picks decode buckets. Upper is piecewise
+        CONSTANT with hysteresis — it jumps up immediately on a near
+        miss (a miss costs a re-decode) and snaps down only when 2x
+        oversized. A continuously-drifting upper would change bucket
+        groupings (hence jit shapes) every batch; holding it steady is
+        what keeps steady-state serving compile-free."""
         obs_mean = float(np.mean(ratios))
         obs_max = float(np.max(ratios))
         with self._ratio_lock:
             if self._ratio is None:
-                self._ratio = (obs_mean, obs_max * 1.2)
+                self._ratio = (obs_mean * 1.05, obs_max * 1.25)
             else:
                 rm, ru = self._ratio
-                self._ratio = (
-                    0.7 * rm + 0.3 * obs_mean,
-                    max(obs_max * 1.1, 0.9 * ru + 0.1 * obs_max * 1.2),
-                )
+                # rm sizes the packed transfer (a jit static arg via
+                # the quantized total): hold it too, stepping only when
+                # >12.5% off — a drifting rm means a new pack shape
+                # every few batches, and even a compilation-cache HIT
+                # costs ~1-2 s of executable loading on remote links.
+                if not (0.875 * rm <= obs_mean * 1.05 <= 1.125 * rm):
+                    rm = obs_mean * 1.05
+                if obs_max * 1.1 > ru or obs_max * 2.0 < ru:
+                    ru = obs_max * 1.25
+                self._ratio = (rm, ru)
 
     def _dispatch_speculative(
         self, encode_groups, lengths, results, noise_scale, t0, u
@@ -680,6 +786,14 @@ class TpuVoice:
         self-describing packed transfer (see pack2_fn). No host sync."""
         with self._ratio_lock:
             rm, ru = self._ratio
+        # Quantize the estimator at USE: the EMA drifts a little every
+        # batch, and un-quantized it changes est frame counts — hence
+        # bucket groupings, hence jit shapes — on every batch, causing
+        # steady-state recompiles. 1/8-step quantization keeps
+        # groupings stable while the EMA converges underneath.
+        rm = math.ceil(rm * 8.0) / 8.0
+        ru = math.ceil(ru * 8.0) / 8.0
+        ds = self._data_size
         max_fb = max(self.frame_buckets)
         spec_audio: List[Any] = []
         spec_ylens: List[Any] = []
@@ -694,17 +808,18 @@ class TpuVoice:
                 min(max(int(lengths[idx] * ru) + 4, 1), max_fb)
                 for idx in indices
             ]
-            for fbucket, rows in batching.group_by_bucket(
-                est, self.frame_buckets
-            ):
-                rows_idx = jnp.asarray(rows)
+            for fbucket, rows in self._plan_decode_groups(est):
+                pad_n = self._round_rows(len(rows)) - len(rows)
+                rows_idx = jnp.asarray(rows + rows[:1] * pad_n)
                 audio, ylen = self._decode(
                     self.params, enc, rows_idx, noise_scale,
                     keys, sid, int(fbucket),
                 )
                 g_no = len(spec_audio)
-                spec_audio.append(audio)
-                spec_ylens.append(ylen)
+                # Drop mesh padding rows before packing: pack2's header
+                # and offsets must describe exactly the real rows.
+                spec_audio.append(audio[: len(rows)])
+                spec_ylens.append(ylen[: len(rows)])
                 cap = int(fbucket) * u
                 for row_i, row in enumerate(rows):
                     spec_rows.append(
@@ -785,7 +900,8 @@ class TpuVoice:
                 min(frames, max(self.frame_buckets)), self.frame_buckets
             )
             audio, _yl = self._decode(
-                self.params, enc, jnp.asarray([enc_row]),
+                self.params, enc,
+                jnp.asarray([enc_row] * self._data_size),
                 spec["noise_scale"], keys, sid, int(fbucket),
             )
             n = min(frames, int(fbucket)) * u
@@ -953,20 +1069,119 @@ class TpuVoice:
     # Warmup
     # ------------------------------------------------------------------
 
-    def warmup(self, batch_sizes=(1,), max_phoneme_bucket: Optional[int] = None):
-        """Pre-compile encode/decode for the bucket ladder."""
-        for b in batch_sizes:
-            for pb in self.phoneme_buckets:
-                if max_phoneme_bucket and pb > max_phoneme_bucket:
-                    break
-                ids = jnp.zeros((b, pb), jnp.int32)
-                lengths = jnp.full((b,), pb, jnp.int32)
-                sid = (
-                    jnp.zeros((b,), jnp.int32) if self._multispeaker else None
+    def warmup(
+        self,
+        batch_sizes=(1,),
+        max_phoneme_bucket: Optional[int] = None,
+        *,
+        full: bool = False,
+        max_frame_bucket: Optional[int] = None,
+        ratio_prior: Optional[Tuple[float, float]] = (2.6, 5.0),
+        threads: int = 8,
+    ):
+        """Pre-compile the serving shapes.
+
+        Default: encode per phoneme bucket (cheap, back-compatible).
+        full=True warms everything a steady-state server hits: the
+        heavy vocode jit per (frame bucket x power-of-two row count),
+        the latents jit, the packed-transfer kernels, and — via
+        `ratio_prior` — seeds the speculative frames-per-id estimator
+        so even the FIRST real batch takes the zero-sync path.
+        Compilations run on `threads` concurrent threads (XLA compile
+        releases the GIL); results land in the persistent compilation
+        cache (PIPER_TPU_CACHE), so later processes warm in seconds.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        pbs = [
+            pb for pb in self.phoneme_buckets
+            if not (max_phoneme_bucket and pb > max_phoneme_bucket)
+        ]
+        fbs = [
+            fb for fb in self.frame_buckets
+            if not (max_frame_bucket and fb > max_frame_bucket)
+        ]
+        key0 = jax.random.PRNGKey(0)
+
+        def enc_task(b, pb):
+            b = self._round_rows(b)
+            ids = jnp.zeros((b, pb), jnp.int32)
+            lengths = jnp.full((b,), pb, jnp.int32)
+            sid = jnp.zeros((b,), jnp.int32) if self._multispeaker else None
+            keys = jax.random.split(key0, b)
+            enc, frames = self._encode(
+                self.params, ids, lengths, jnp.float32(0.8),
+                jnp.float32(1.0), keys, sid,
+            )
+            jax.block_until_ready(frames)
+            return enc, keys, sid
+
+        def dec_task(enc_pack, rows, fb):
+            enc, keys, sid = enc_pack
+            rows_idx = jnp.zeros((rows,), jnp.int32)
+            audio, yl = self._decode(
+                self.params, enc, rows_idx, jnp.float32(0.667),
+                keys, sid, int(fb),
+            )
+            jax.block_until_ready(audio)
+            return audio, yl
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            enc_futs = {
+                (b, pb): ex.submit(enc_task, b, pb)
+                for b in batch_sizes for pb in pbs
+            }
+            if not full:
+                for f in enc_futs.values():
+                    f.result()
+                return
+            # Decode shapes depend on the enc's phoneme bucket only in
+            # the cheap latents jit; the heavy vocode jit sees
+            # (rows x fb). Warm every power-of-two row count up to the
+            # largest batch (the speculative planner splits batches
+            # into such groups) at the largest pb.
+            pb_max = max(pbs)
+            dec_futs = []
+            b_max = max(batch_sizes)
+            enc_pack = enc_futs[(b_max, pb_max)].result()
+            if self.decode_grouping == "uniform":
+                # One decode shape per (batch size, frame bucket).
+                rows_ladder = sorted(
+                    {self._round_rows(b) for b in batch_sizes}
                 )
-                keys = jax.random.split(jax.random.PRNGKey(0), b)
-                enc = self._encode(
-                    self.params, ids, lengths, jnp.float32(0.8),
-                    jnp.float32(1.0), keys, sid,
+            else:
+                rows_ladder = []
+                r = self._round_rows(1)
+                while r < self._round_rows(b_max):
+                    rows_ladder.append(r)
+                    r *= 2
+                rows_ladder.append(self._round_rows(b_max))
+            for rows in rows_ladder:
+                for fb in fbs:
+                    dec_futs.append(
+                        ex.submit(dec_task, enc_pack, rows, fb)
+                    )
+            for f in enc_futs.values():
+                f.result()
+            audio0, yl0 = dec_futs[0].result()
+            for f in dec_futs[1:]:
+                f.result()
+            # Packed-transfer kernels (one representative shape each;
+            # further (args-shape, total) combos compile in ~0.5 s).
+            r = audio0.shape[0]
+            total = self._PACK_QUANTUM
+            starts = jnp.zeros((2, r), jnp.int32)
+            jax.block_until_ready(
+                self._pack((audio0,), starts, total)
+            )
+            if self.precision != "parity":
+                # pack2 (speculative self-describing transfer) is
+                # int16-only, like the fast-precision path that uses it.
+                a0 = -(-2 * r // 128) * 128
+                jax.block_until_ready(
+                    self._pack2((audio0,), (yl0,), a0, a0 + total)
                 )
-                jax.block_until_ready(enc)
+            if ratio_prior is not None:
+                with self._ratio_lock:
+                    if self._ratio is None:
+                        self._ratio = ratio_prior

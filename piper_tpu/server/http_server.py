@@ -210,14 +210,37 @@ def serve(
 
 
 def main(argv=None):
+    import time
+
     from ..__main__ import build_parser, load_voice
 
     parser = build_parser()
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=5000)
+    parser.add_argument(
+        "--warmup", choices=["off", "encode", "full"], default="full",
+        help="Pre-compile serving shapes before binding the port "
+        "(full warms every decode bucket + the packed-transfer "
+        "kernels and seeds the speculative estimator; compiled code "
+        "persists in PIPER_TPU_CACHE so later starts take seconds)",
+    )
+    parser.add_argument(
+        "--warmup-batch-sizes", default="1,8",
+        help="Comma-separated batch sizes to warm (see --warmup)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
     voice = load_voice(args)
+    if args.warmup != "off":
+        sizes = tuple(
+            int(s) for s in args.warmup_batch_sizes.split(",") if s
+        )
+        t0 = time.perf_counter()
+        voice.warmup(sizes, full=args.warmup == "full")
+        _LOGGER.info(
+            "warmup(%s, batch_sizes=%s) in %.1fs",
+            args.warmup, sizes, time.perf_counter() - t0,
+        )
     syn = SynthesisConfig(
         speaker_id=args.speaker,
         length_scale=args.length_scale,

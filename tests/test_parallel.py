@@ -132,3 +132,134 @@ def test_mesh_voice_serving_matches_single():
     for a, b in zip(out, ref):
         assert len(a) == len(b)
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def _tiny_voice_pair(precision, mesh, frame_buckets=(256, 512)):
+    """(single, mesh) TpuVoice pair over small_cfg with a text map."""
+    from piper_tpu.config import InferenceDefaults, VoiceConfig
+    from piper_tpu.runtime.voice import TpuVoice
+
+    cfg = small_cfg()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), cfg)
+    id_map = {chr(32 + i): [i] for i in range(cfg.num_symbols)}
+    id_map.update({"_": [0], "^": [1], "$": [2]})
+    config = VoiceConfig(
+        num_symbols=cfg.num_symbols, num_speakers=1,
+        sample_rate=cfg.audio.sample_rate, espeak_voice="en-us",
+        inference=InferenceDefaults(), phoneme_id_map=id_map,
+    )
+    kw = dict(
+        phoneme_buckets=[64], frame_buckets=list(frame_buckets), seed=0,
+        precision=precision,
+    )
+    return (
+        TpuVoice(params, cfg, config, **kw),
+        TpuVoice(params, cfg, config, mesh=mesh, **kw),
+    )
+
+
+def test_mesh_voice_bf16_identical():
+    """fast-precision (bf16) serving: mesh output == single-chip output
+    exactly (row-independent compute; per-utterance keyed noise)."""
+    from piper_tpu.config import SynthesisConfig
+
+    mesh = make_mesh(data=8, model=1)
+    single, meshed = _tiny_voice_pair("fast", mesh)
+    rng = np.random.default_rng(5)
+    ids_list = [
+        rng.integers(3, 40, rng.integers(8, 40)).tolist() for _ in range(6)
+    ]
+    syn = SynthesisConfig(seed=3)
+    ref = single.synthesize_ids_batch(ids_list, syn=syn)
+    with mesh:
+        out = meshed.synthesize_ids_batch(ids_list, syn=syn)
+    for a, b in zip(out, ref):
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_speculative_matches_exact():
+    """Second batch takes the speculative zero-sync path under the mesh
+    (estimator calibrated by batch one) and must byte-match batch one."""
+    from piper_tpu.config import SynthesisConfig
+
+    mesh = make_mesh(data=8, model=1)
+    _, meshed = _tiny_voice_pair("fast", mesh)
+    rng = np.random.default_rng(6)
+    ids_list = [
+        rng.integers(3, 40, rng.integers(8, 40)).tolist() for _ in range(5)
+    ]
+    syn = SynthesisConfig(seed=4)
+    with mesh:
+        first = meshed.synthesize_ids_batch(ids_list, syn=syn)
+        assert meshed._ratio is not None
+        handle = meshed.submit(ids_list, syn=syn)
+        assert handle.get("spec") is not None, "speculative path not taken"
+        second = meshed.collect(handle)
+    for a, b in zip(second, first):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_vocode_data_parallel_tm_interpret():
+    """The time-major Pallas vocoder partitions across the mesh via
+    shard_map (interpret mode on CPU) and matches the monolithic tm
+    output."""
+    from piper_tpu.models.vits.generator import prepare_tm
+    from piper_tpu.parallel.sharding import vocode_data_parallel
+
+    cfg = small_cfg()
+    params = dict(init_synthesizer_params(jax.random.PRNGKey(1), cfg))
+    params["dec_tm"] = prepare_tm(params["dec"], cfg, jnp.float32)
+    rng = np.random.default_rng(7)
+    b, t = 8, 64
+    z_p = jnp.asarray(
+        rng.standard_normal((b, t, cfg.inter_channels)), jnp.float32
+    )
+    y_mask = jnp.ones((b, t, 1), jnp.float32)
+
+    ref = synthesizer_vocode(
+        params, z_p, y_mask, cfg=cfg, tm_interpret=True
+    )
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        out = vocode_data_parallel(
+            params, z_p, y_mask, None, cfg=cfg, mesh=mesh, tm_interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_uniform_grouping_matches_bucketed():
+    """decode_grouping='uniform' (one decode shape per batch) must be
+    sample-identical to 'bucketed' — counter-mode noise makes a row's
+    audio independent of its decode bucket."""
+    from piper_tpu.config import InferenceDefaults, SynthesisConfig, VoiceConfig
+    from piper_tpu.runtime.voice import TpuVoice
+
+    cfg = small_cfg()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), cfg)
+    id_map = {chr(32 + i): [i] for i in range(cfg.num_symbols)}
+    id_map.update({"_": [0], "^": [1], "$": [2]})
+    config = VoiceConfig(
+        num_symbols=cfg.num_symbols, num_speakers=1,
+        sample_rate=cfg.audio.sample_rate, espeak_voice="en-us",
+        inference=InferenceDefaults(), phoneme_id_map=id_map,
+    )
+    kw = dict(phoneme_buckets=[64], frame_buckets=[128, 256, 512], seed=0,
+              precision="fast")
+    bucketed = TpuVoice(params, cfg, config, **kw)
+    uniform = TpuVoice(params, cfg, config, decode_grouping="uniform", **kw)
+    rng = np.random.default_rng(8)
+    ids_list = [
+        rng.integers(3, 40, rng.integers(6, 48)).tolist() for _ in range(7)
+    ]
+    syn = SynthesisConfig(seed=12)
+    a = bucketed.synthesize_ids_batch(ids_list, syn=syn)
+    b = uniform.synthesize_ids_batch(ids_list, syn=syn)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # speculative batch in uniform mode too
+    h = uniform.submit(ids_list, syn=syn)
+    assert h.get("spec") is not None
+    c = uniform.collect(h)
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(x, y)
