@@ -90,6 +90,11 @@ def main(argv=None) -> None:
                    help="vits = reference architecture; vits2 adds the "
                         "2307.16430 upgrades (transformer flow, "
                         "adversarial durations, noised MAS)")
+    p.add_argument("--vocoder", default="hifigan",
+                   choices=("hifigan", "mb_istft"),
+                   help="hifigan = reference vocoder; mb_istft = "
+                        "multi-band iSTFT head (~7x less vocoder "
+                        "compute, native-format voices only)")
     p.add_argument("--config-overrides",
                    help="JSON dict of ModelConfig field overrides "
                         '(e.g. \'{"hidden_channels": 64}\'); "audio" '
@@ -132,9 +137,15 @@ def main(argv=None) -> None:
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
     vcfg = VoiceConfig.from_file(dataset_dir / "config.json")
-    make_cfg = (
-        ModelConfig.vits2 if args.variant == "vits2" else ModelConfig.for_quality
-    )
+    if args.vocoder == "mb_istft":
+        if args.variant == "vits2":
+            p.error("--vocoder mb_istft with --variant vits2 is not a "
+                    "supported combination yet")
+        make_cfg = ModelConfig.mb_istft
+    elif args.variant == "vits2":
+        make_cfg = ModelConfig.vits2
+    else:
+        make_cfg = ModelConfig.for_quality
     cfg = make_cfg(
         args.quality,
         num_symbols=vcfg.num_symbols,
