@@ -132,6 +132,12 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
 
+    # The GAN train step is a minutes-long, ~100 MB compile; persist it
+    # (same cache the serving runtime uses) so resume/restart is cheap.
+    from ..runtime.voice import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
     dataset_dir = Path(args.dataset_dir)
     ckpt_dir = Path(args.checkpoint_dir or dataset_dir / "ckpt")
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -310,20 +316,23 @@ def _validate(
     sample_dir = ckpt_dir / "samples" / str(step)
     sample_dir.mkdir(parents=True, exist_ok=True)
     mel_l1 = []
-    for i, utt in enumerate(val_utts[:5]):
-        # pad phoneme ids to a bucketed length (masked via `lengths`)
-        # so validation reuses a handful of compiled infer shapes
+    val_utts = val_utts[:5]
+    # One phoneme bucket and one frame budget for the whole val set:
+    # exactly one compiled infer shape per validation pass, reused for
+    # the rest of the run (per-utterance shapes caused a compile per
+    # utterance and, through a tunneled device, minute-scale stalls).
+    t_pad = max(-(-len(u.phoneme_ids) // 64) * 64 for u in val_utts)
+    refs = [np.load(u.audio_norm_path).astype(np.float32) for u in val_utts]
+    want = max(
+        max(len(r) // a.hop_length for r in refs) * 5 // 4, 128
+    )
+    max_frames = -(-want // 512) * 512
+    for i, (utt, ref_audio) in enumerate(zip(val_utts, refs)):
         n_ids = len(utt.phoneme_ids)
-        t_pad = -(-n_ids // 64) * 64
         ids_np = np.zeros((1, t_pad), np.int32)
         ids_np[0, :n_ids] = utt.phoneme_ids
         ids = jnp.asarray(ids_np)
         lengths = jnp.asarray([n_ids], jnp.int32)
-        ref_audio = np.load(utt.audio_norm_path).astype(np.float32)
-        # round the frame budget up to a multiple of 512 so validation
-        # compiles a handful of infer shapes, not one per utterance
-        want = max(len(ref_audio) // a.hop_length * 2, 128)
-        max_frames = -(-want // 512) * 512
         sid = (
             jnp.asarray([utt.speaker_id], jnp.int32)
             if utt.speaker_id is not None and cfg.num_speakers > 1
