@@ -36,9 +36,18 @@ def main():
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
+    import os
+    from pathlib import Path
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # Persistent compilation cache: PIPER_TPU_CACHE wins; else a
+    # .jax_cache next to this script (the repo checkout); else the
+    # runtime's default (~/.cache/piper_tpu/jax) kicks in on voice load.
+    cache = os.environ.get("PIPER_TPU_CACHE") or str(
+        Path(__file__).resolve().parent / ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from piper_tpu.runtime.voice import TpuVoice

@@ -121,9 +121,14 @@ def main(argv=None) -> None:
                     help="Cap the teacher dataset size (0 = all fixtures)")
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    cache = os.environ.get("PIPER_TPU_CACHE") or str(
+        Path(__file__).resolve().parent.parent / ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if not args.skip_build:

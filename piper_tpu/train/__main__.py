@@ -245,8 +245,11 @@ def main(argv=None) -> None:
     key = jax.random.PRNGKey(args.seed + 1)
     step = start_step
     t_start = time.perf_counter()
+    # Carry the epoch count through --resume so the metrics stream's
+    # epoch column is consistent with the step counter across restarts.
+    start_epoch = start_step // steps_per_epoch
     with mesh, open(metrics_path, "a", encoding="utf-8") as metrics_file:
-        for epoch in range(args.max_epochs):
+        for epoch in range(start_epoch, args.max_epochs):
             for batch in loader:
                 if batch["ids"].shape[0] % mesh.devices.size != 0:
                     continue  # partial batch not divisible over mesh
@@ -316,6 +319,7 @@ def _validate(
     sample_dir = ckpt_dir / "samples" / str(step)
     sample_dir.mkdir(parents=True, exist_ok=True)
     mel_l1 = []
+    dur_ratio = []
     val_utts = val_utts[:5]
     # One phoneme bucket and one frame budget for the whole val set:
     # exactly one compiled infer shape per validation pass, reused for
@@ -323,9 +327,10 @@ def _validate(
     # utterance and, through a tunneled device, minute-scale stalls).
     t_pad = max(-(-len(u.phoneme_ids) // 64) * 64 for u in val_utts)
     refs = [np.load(u.audio_norm_path).astype(np.float32) for u in val_utts]
-    want = max(
-        max(len(r) // a.hop_length for r in refs) * 5 // 4, 128
-    )
+    # 2x headroom over the longest reference: early-training duration
+    # predictions routinely overshoot, and a tight budget would clamp
+    # y_lengths and silently score truncated audio.
+    want = max(max(len(r) // a.hop_length for r in refs) * 2, 128)
     max_frames = -(-want // 512) * 512
     for i, (utt, ref_audio) in enumerate(zip(val_utts, refs)):
         n_ids = len(utt.phoneme_ids)
@@ -344,8 +349,19 @@ def _validate(
             noise_w_scale=jnp.float32(0.8), sid=sid,
             rng=jax.random.PRNGKey(step + i),
         )
-        n = int(y_lengths[0]) * cfg.upsample_factor
+        frames = int(y_lengths[0])
+        if frames >= max_frames:
+            _LOGGER.warning(
+                "validation step %s utt %s: predicted %s frames hit the "
+                "max_frames=%s clamp; scoring truncated audio",
+                step, i, frames, max_frames,
+            )
+        n = frames * cfg.upsample_factor
         gen = np.asarray(audio[0, :n], np.float32)
+        # Duration accuracy: predicted total frames vs the reference
+        # audio's frame count (1.0 = perfect; tracks whether rising
+        # late-run duration NLL actually degrades generated durations).
+        dur_ratio.append(frames / max(len(ref_audio) // a.hop_length, 1))
         write_wav(
             sample_dir / f"val_{i}.wav", audio_float_to_int16(gen),
             a.sample_rate,
@@ -365,10 +381,17 @@ def _validate(
             )
             mel_l1.append(float(jnp.mean(jnp.abs(mel_g - mel_r))))
     if mel_l1:
-        rec = {"step": step, "val_mel_l1": round(float(np.mean(mel_l1)), 4)}
+        rec = {
+            "step": step,
+            "val_mel_l1": round(float(np.mean(mel_l1)), 4),
+            "val_dur_ratio": round(float(np.mean(dur_ratio)), 4),
+        }
         metrics_file.write(json.dumps(rec) + "\n")
         metrics_file.flush()
-        _LOGGER.info("validation step %s mel L1 %.4f", step, rec["val_mel_l1"])
+        _LOGGER.info(
+            "validation step %s mel L1 %.4f dur ratio %.3f",
+            step, rec["val_mel_l1"], rec["val_dur_ratio"],
+        )
 
 
 if __name__ == "__main__":
