@@ -33,17 +33,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def build_dataset(
-    out: Path, quality: str, seed: int, max_utterances: int = 0
+    out: Path, quality: str, seed: int, max_utterances: int = 0,
+    teacher_path: Path = None, teacher_config: Path = None,
 ) -> dict:
-    """Teacher-synthesize the fixture sentences into a training dir."""
+    """Teacher-synthesize the fixture sentences into a training dir.
+
+    With --teacher, the teacher is a *trained* voice (chained
+    distillation: e.g. the committed 3000-step x-low student becomes
+    the teacher of a higher-capacity student); otherwise a frozen
+    random-weight voice.
+    """
     from piper_tpu.config import AudioConfig, SynthesisConfig
     from piper_tpu.runtime.voice import TpuVoice
     from piper_tpu.runtime.wav import audio_float_to_int16, write_wav
     from piper_tpu.train.norm_audio import cache_norm_audio
     from piper_tpu.train.preprocess import default_espeak_id_map
 
-    id_map = default_espeak_id_map()
-    num_symbols = max(i[0] for i in id_map.values()) + 1
+    if teacher_path is not None:
+        teacher = TpuVoice.load(
+            teacher_path, teacher_config or Path(str(teacher_path) + ".json")
+        )
+        id_map = {
+            k: list(v) for k, v in teacher.config.phoneme_id_map.items()
+        }
+        num_symbols = teacher.config.num_symbols
+    else:
+        id_map = default_espeak_id_map()
+        num_symbols = max(i[0] for i in id_map.values()) + 1
 
     utts = []
     for p in sorted(Path("/root/reference/etc/test_sentences").glob("test_*.jsonl")):
@@ -58,7 +74,8 @@ def build_dataset(
         utts = utts[:max_utterances]
     print(f"fixture utterances: {len(utts)} (num_symbols {num_symbols})")
 
-    teacher = TpuVoice.random(quality, num_symbols=num_symbols, seed=seed)
+    if teacher_path is None:
+        teacher = TpuVoice.random(quality, num_symbols=num_symbols, seed=seed)
     sr = teacher.config.sample_rate
     wav_dir = out / "wavs"
     wav_dir.mkdir(parents=True, exist_ok=True)
@@ -119,6 +136,20 @@ def main(argv=None) -> None:
                     help="Reuse an existing dataset in --out")
     ap.add_argument("--max-utterances", type=int, default=0,
                     help="Cap the teacher dataset size (0 = all fixtures)")
+    ap.add_argument("--teacher", type=Path,
+                    help=".npz voice to distill from (chained "
+                         "distillation); default: random-weight teacher")
+    ap.add_argument("--teacher-config", type=Path,
+                    help="Voice config sidecar for --teacher "
+                         "(default: <teacher>.json)")
+    ap.add_argument("--variant", default="vits", choices=["vits", "vits2"])
+    ap.add_argument("--vocoder", default="hifigan",
+                    choices=["hifigan", "mb_istft"])
+    ap.add_argument("--ckpt-name", default="ckpt",
+                    help="Checkpoint subdir under --out (lets several "
+                         "family runs share one dataset)")
+    ap.add_argument("--validate-steps", type=int, default=0,
+                    help="Validation cadence (0 = twice per run)")
     args = ap.parse_args(argv)
 
     import os
@@ -133,18 +164,25 @@ def main(argv=None) -> None:
 
     if not args.skip_build:
         build_dataset(args.out, args.quality, args.seed,
-                      max_utterances=args.max_utterances)
+                      max_utterances=args.max_utterances,
+                      teacher_path=args.teacher,
+                      teacher_config=args.teacher_config)
 
     from piper_tpu.train.__main__ import main as train_main
 
+    ckpt = args.out / args.ckpt_name
+    validate_steps = args.validate_steps or max(args.steps // 2, 1)
     t0 = time.perf_counter()
     train_main([
         "--dataset-dir", str(args.out),
+        "--checkpoint-dir", str(ckpt),
         "--quality", args.quality,
+        "--variant", args.variant,
+        "--vocoder", args.vocoder,
         "--batch-size", str(args.batch_size),
         "--max-steps", str(args.steps),
         "--checkpoint-steps", str(max(args.steps // 2, 1)),
-        "--validate-steps", str(max(args.steps // 2, 1)),
+        "--validate-steps", str(validate_steps),
         "--log-steps", str(min(25, max(args.steps // 4, 1))),
         "--single-bucket",  # exactly one train-step compilation
         "--seed", str(args.seed + 1),  # student != teacher init
@@ -154,7 +192,7 @@ def main(argv=None) -> None:
     # Summarize the loss trajectory for the docs.
     metrics = [
         json.loads(l)
-        for l in (args.out / "ckpt" / "metrics.jsonl").read_text().splitlines()
+        for l in (ckpt / "metrics.jsonl").read_text().splitlines()
     ]
     steps = [m for m in metrics if "loss_mel" in m]
     vals = [m for m in metrics if "val_mel_l1" in m]
@@ -167,14 +205,23 @@ def main(argv=None) -> None:
         "loss_gen_first": first["loss_gen_all"],
         "loss_gen_last": last["loss_gen_all"],
         "val_mel_l1": [
-            {"step": v["step"], "val_mel_l1": v["val_mel_l1"]} for v in vals
+            {"step": v["step"], "val_mel_l1": v["val_mel_l1"],
+             **({"val_dur_ratio": v["val_dur_ratio"]}
+                if "val_dur_ratio" in v else {})}
+            for v in vals
         ],
     }
-    summary.update(eval_exported_voice(args.out, args.quality, args.seed))
+    summary.update(eval_exported_voice(
+        args.out, args.quality, args.seed, ckpt_name=args.ckpt_name,
+        variant=args.variant, vocoder=args.vocoder,
+    ))
     print(json.dumps(summary, indent=2))
 
 
-def eval_exported_voice(out: Path, quality: str, seed: int) -> dict:
+def eval_exported_voice(
+    out: Path, quality: str, seed: int, ckpt_name: str = "ckpt",
+    variant: str = "vits", vocoder: str = "hifigan",
+) -> dict:
     """Serve the trained exported .npz through TpuVoice and score mel
     L1 against the teacher's audio — end to end through the runtime,
     with an untrained student as the control (the convergence signal
@@ -185,7 +232,7 @@ def eval_exported_voice(out: Path, quality: str, seed: int) -> dict:
     from piper_tpu.runtime.voice import TpuVoice
     from piper_tpu.ops.stft import mel_spectrogram
 
-    ckpt = out / "ckpt"
+    ckpt = out / ckpt_name
     exports = sorted(
         ckpt.glob("voice_*.npz"),
         key=lambda p: int(p.stem.split("_")[1]),
@@ -229,7 +276,8 @@ def eval_exported_voice(out: Path, quality: str, seed: int) -> dict:
     trained = TpuVoice.load(voice_path, out / "config.json")
     vcfg = trained.config
     untrained = TpuVoice.random(
-        quality, num_symbols=vcfg.num_symbols, seed=seed + 99
+        quality, num_symbols=vcfg.num_symbols, seed=seed + 99,
+        variant=variant, vocoder=vocoder,
     )
     untrained.config = vcfg
     l1_trained = mel_l1(trained)

@@ -309,10 +309,19 @@ def _emit_band_ctx(e: _Emit, sB: str, sT: str, r_t: str) -> Dict[str, str]:
     }
 
 
-def _emit_spline_inverse(e: _Emit, x1: str, h_params: str, half: int) -> str:
+def _emit_spline_inverse(
+    e: _Emit, x1: str, h_params: str, half: int, wh_scale: float = 1.0
+) -> str:
     """Inverse rational-quadratic spline with linear tails
     (transforms.py:101-212). x1: (B, half, T); h_params:
-    (B, half*(3K-1), T) pre-scaled conditioner output. Returns x1'."""
+    (B, half*(3K-1), T) conditioner output. Returns x1'.
+
+    wh_scale is applied to the width/height blocks ONLY — the
+    reference divides unnormalized_widths/heights by
+    sqrt(filter_channels) but leaves unnormalized_derivatives
+    unscaled (modules.py:506-510). Scaling all three blocks is
+    invisible at random init (ConvFlow's proj is zero-init, h == 0)
+    but wrong at trained weights."""
     b = e.b
     K = SDP_BINS
     # (B, half, 3K-1, T) -> (B, half, T, 3K-1)
@@ -324,6 +333,9 @@ def _emit_spline_inverse(e: _Emit, x1: str, h_params: str, half: int) -> str:
     uw = e.slice(hp, [0], [K], [3])
     uh = e.slice(hp, [K], [2 * K], [3])
     ud = e.slice(hp, [2 * K], [3 * K - 1], [3])
+    if wh_scale != 1.0:
+        uw = e.mul(uw, e.cf(wh_scale))
+        uh = e.mul(uh, e.cf(wh_scale))
 
     xin = e.unsq(x1, [3])  # (B, half, T, 1)
     inside = e.n(
@@ -408,8 +420,9 @@ def _emit_conv_flow_reverse(
     h = e.conv(x0, f"{prefix}.pre")
     h = e.ddsconv(h, f"{prefix}.convs", xm, kernel_size=kernel_size, g=g)
     h = e.mul(e.conv(h, f"{prefix}.proj"), xm)
-    h = e.mul(h, e.cf(1.0 / math.sqrt(filter_channels)))
-    x1n = _emit_spline_inverse(e, x1, h, 1)
+    x1n = _emit_spline_inverse(
+        e, x1, h, 1, wh_scale=1.0 / math.sqrt(filter_channels)
+    )
     return e.mul(e.concat([x0, x1n], 1), xm)
 
 

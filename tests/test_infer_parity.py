@@ -45,17 +45,25 @@ def fixed_noise(dur_noise_nct, frame_noise_nct):
         torch.randn, torch.randn_like = orig_randn, orig_like
 
 
-def run_parity(cfg, seed, b=1, t=25, sid=None, atol=1e-3):
-    model = make_ref_synthesizer(cfg, seed=seed)
-    params = params_from_state_dict(model.state_dict(), cfg)
+def run_parity(cfg, seed, b=1, t=25, sid=None, atol=1e-3,
+               model=None, params=None, ids=None, lengths=None):
+    """model/params default to a random-init reference oracle; pass a
+    (model, params) pair for trained-weight parity, and ids/lengths to
+    use real phoneme sequences instead of random ones."""
+    if model is None:
+        model = make_ref_synthesizer(cfg, seed=seed)
+        params = params_from_state_dict(model.state_dict(), cfg)
 
     rng = np.random.default_rng(seed)
-    lengths = np.full((b,), t, np.int64)
-    if b > 1:
-        lengths[1:] = rng.integers(t // 2, t, b - 1)
-    ids = rng.integers(0, cfg.num_symbols, (b, t))
-    for i, l in enumerate(lengths):
-        ids[i, l:] = 0
+    if ids is None:
+        lengths = np.full((b,), t, np.int64)
+        if b > 1:
+            lengths[1:] = rng.integers(t // 2, t, b - 1)
+        ids = rng.integers(0, cfg.num_symbols, (b, t))
+        for i, l in enumerate(lengths):
+            ids[i, l:] = 0
+    else:
+        b, t = ids.shape
 
     noise_scale, length_scale, noise_w = 0.667, 1.0, 0.8
     dur_noise = rng.standard_normal((b, 2, t)).astype(np.float32)

@@ -30,7 +30,8 @@ from reference_oracle import make_ref_synthesizer
 from torch_onnx_oracle import export_reference_onnx
 
 
-def _jax_deterministic_audio(params, cfg, ids, lengths, sid=None):
+def _jax_deterministic_audio(params, cfg, ids, lengths, sid=None,
+                             length_scale=1.0):
     b, t = ids.shape
     enc = synthesizer_encode(
         params,
@@ -38,7 +39,7 @@ def _jax_deterministic_audio(params, cfg, ids, lengths, sid=None):
         jnp.asarray(lengths.astype(np.int32)),
         cfg=cfg,
         noise_w_scale=jnp.float32(0.0),
-        length_scale=jnp.float32(1.0),
+        length_scale=jnp.float32(length_scale),
         sid=jnp.asarray(sid) if sid is not None else None,
         dur_noise=jnp.zeros((b, t, 2), jnp.float32),
     )
@@ -53,7 +54,8 @@ def _jax_deterministic_audio(params, cfg, ids, lengths, sid=None):
     return np.asarray(audio), np.asarray(y_lengths), durations
 
 
-def _run_graph(model_bytes_or_model, ids, lengths, sid=None):
+def _run_graph(model_bytes_or_model, ids, lengths, sid=None,
+               length_scale=1.0):
     m = (
         model_bytes_or_model
         if isinstance(model_bytes_or_model, OnnxModel)
@@ -62,7 +64,7 @@ def _run_graph(model_bytes_or_model, ids, lengths, sid=None):
     feeds = {
         "input": ids.astype(np.int64),
         "input_lengths": lengths.astype(np.int64),
-        "scales": np.array([0.0, 1.0, 0.0], np.float32),
+        "scales": np.array([0.0, length_scale, 0.0], np.float32),
     }
     if sid is not None:
         feeds["sid"] = np.asarray(sid, np.int64)
