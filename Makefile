@@ -1,7 +1,7 @@
 # piper_tpu build/test entry points (counterpart of the reference's
 # Makefile: make all = build + test).
 
-.PHONY: all native test test-fast bench clean
+.PHONY: all native test test-fast test-tpu test-ort bench clean
 
 all: native test
 
@@ -13,6 +13,15 @@ test:
 
 test-fast:
 	python -m pytest tests/ -x -q -k "not cli_end_to_end and not onnx"
+
+# On a host with a real TPU attached (Pallas/Mosaic-compiled paths).
+test-tpu:
+	PIPER_TPU_RUN_TPU_TESTS=1 python -m pytest tests/ -x -q -m tpu
+
+# Wherever the [ort] extra installs (pip install .[ort]): runs every
+# exported voice under real onnxruntime vs the JAX graph.
+test-ort:
+	python -m pytest tests/ -x -q -m ort
 
 bench:
 	python bench.py
