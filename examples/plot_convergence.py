@@ -64,9 +64,15 @@ def main(argv=None) -> None:
         ("loss_kl", "KL (prior | posterior)", True),
         ("loss_dur", "duration NLL", False),
     ]
+    # Extra panel for the duration-accuracy ratio when any run logged
+    # it (validation writes val_dur_ratio since round 3).
+    have_dur = any(
+        any("val_dur_ratio" in v for v in vals) for _, _, vals in runs
+    )
+    ncols = len(panels) + 1 + (1 if have_dur else 0)
     nrows = len(runs)
     fig, axes = plt.subplots(
-        nrows, len(panels) + 1, figsize=(3.1 * (len(panels) + 1), 2.5 * nrows),
+        nrows, ncols, figsize=(3.1 * ncols, 2.5 * nrows),
         facecolor=SURFACE, squeeze=False,
     )
     for r, (label, steps, vals) in enumerate(runs):
@@ -85,13 +91,27 @@ def main(argv=None) -> None:
         if vals:
             vx = [v["step"] for v in vals]
             vy = [v["val_mel_l1"] for v in vals]
-            ax.plot(vx, vy, color=SERIES, linewidth=2, marker="o", markersize=5)
-            for xi, yi in zip(vx, vy):
-                ax.annotate(f"{yi:.2f}", (xi, yi), textcoords="offset points",
+            ax.plot(vx, vy, color=SERIES, linewidth=2, marker="o", markersize=4)
+            lab = vals[::max(len(vals) // 4, 1)]
+            for v in lab:
+                ax.annotate(f"{v['val_mel_l1']:.2f}", (v["step"], v["val_mel_l1"]),
+                            textcoords="offset points",
                             xytext=(0, 6), fontsize=8, color=TEXT2, ha="center")
         ax.set_title(f"{label}: val mel L1 (held out)", fontsize=9,
                      color=TEXT, loc="left")
         style(ax)
+        if have_dur:
+            ax = axes[r][len(panels) + 1]
+            dv = [v for v in vals if "val_dur_ratio" in v]
+            if dv:
+                ax.plot([v["step"] for v in dv],
+                        [v["val_dur_ratio"] for v in dv],
+                        color=SERIES, linewidth=2, marker="o", markersize=4)
+                ax.axhline(1.0, color=GRID, linewidth=1.2)
+                ax.set_ylim(0, 1.3)
+            ax.set_title(f"{label}: val duration ratio (1 = teacher)",
+                         fontsize=9, color=TEXT, loc="left")
+            style(ax)
     for ax in axes[-1]:
         ax.set_xlabel("step", fontsize=8, color=TEXT2)
     fig.tight_layout()

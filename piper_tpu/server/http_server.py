@@ -218,11 +218,16 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=5000)
     parser.add_argument(
-        "--warmup", choices=["off", "encode", "full"], default="full",
-        help="Pre-compile serving shapes before binding the port "
-        "(full warms every decode bucket + the packed-transfer "
-        "kernels and seeds the speculative estimator; compiled code "
-        "persists in PIPER_TPU_CACHE so later starts take seconds)",
+        "--warmup", choices=["off", "encode", "full", "background"],
+        default="background",
+        help="Pre-compile serving shapes. 'background' (default) binds "
+        "the port immediately and warms the full ladder on a daemon "
+        "thread — the first request pays only its OWN shape's "
+        "compile/cache-load instead of the whole ladder; 'full' "
+        "blocks until every decode bucket, the packed-transfer "
+        "kernels, and the speculative estimator seed are compiled; "
+        "compiled code persists in PIPER_TPU_CACHE so later starts "
+        "take seconds",
     )
     parser.add_argument(
         "--warmup-batch-sizes", default="1,8",
@@ -231,16 +236,25 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
     voice = load_voice(args)
-    if args.warmup != "off":
-        sizes = tuple(
-            int(s) for s in args.warmup_batch_sizes.split(",") if s
-        )
+    sizes = tuple(int(s) for s in args.warmup_batch_sizes.split(",") if s)
+
+    def _warm(kind):
         t0 = time.perf_counter()
-        voice.warmup(sizes, full=args.warmup == "full")
+        voice.warmup(sizes, full=kind in ("full", "background"))
         _LOGGER.info(
             "warmup(%s, batch_sizes=%s) in %.1fs",
-            args.warmup, sizes, time.perf_counter() - t0,
+            kind, sizes, time.perf_counter() - t0,
         )
+
+    if args.warmup in ("encode", "full"):
+        _warm(args.warmup)
+    elif args.warmup == "background":
+        import threading
+
+        threading.Thread(
+            target=_warm, args=("background",), daemon=True,
+            name="piper-tpu-warmup",
+        ).start()
     syn = SynthesisConfig(
         speaker_id=args.speaker,
         length_scale=args.length_scale,
