@@ -35,14 +35,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def build_dataset(
     out: Path, quality: str, seed: int, max_utterances: int = 0,
     teacher_path: Path = None, teacher_config: Path = None,
+    speakers: int = 1,
 ) -> dict:
     """Teacher-synthesize the fixture sentences into a training dir.
 
     With --teacher, the teacher is a *trained* voice (chained
     distillation: e.g. the committed 3000-step x-low student becomes
     the teacher of a higher-capacity student); otherwise a frozen
-    random-weight voice.
-    """
+    random-weight voice. With --speakers N, N differently-seeded
+    teachers each voice a share of the utterances and the dataset gets
+    speaker ids — a multi-speaker student must learn to separate them
+    through its speaker embedding (evaluated by the sid-swap control
+    in eval_exported_voice)."""
     from piper_tpu.config import AudioConfig, SynthesisConfig
     from piper_tpu.runtime.voice import TpuVoice
     from piper_tpu.runtime.wav import audio_float_to_int16, write_wav
@@ -75,16 +79,30 @@ def build_dataset(
     print(f"fixture utterances: {len(utts)} (num_symbols {num_symbols})")
 
     if teacher_path is None:
-        teacher = TpuVoice.random(quality, num_symbols=num_symbols, seed=seed)
-    sr = teacher.config.sample_rate
+        teachers = [
+            TpuVoice.random(quality, num_symbols=num_symbols, seed=seed + k)
+            for k in range(speakers)
+        ]
+    else:
+        assert speakers == 1, "--teacher with --speakers>1 not supported"
+        teachers = [teacher]
+    sr = teachers[0].config.sample_rate
     wav_dir = out / "wavs"
     wav_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
-    audios = teacher.synthesize_ids_batch(
-        [u["phoneme_ids"] for u in utts], syn=SynthesisConfig(seed=seed)
-    )
+    # utterance i -> speaker i % N; synthesize per-teacher batches
+    audios = [None] * len(utts)
+    for k, tk in enumerate(teachers):
+        rows = [i for i in range(len(utts)) if i % speakers == k]
+        outs = tk.synthesize_ids_batch(
+            [utts[i]["phoneme_ids"] for i in rows],
+            syn=SynthesisConfig(seed=seed),
+        )
+        for i, a in zip(rows, outs):
+            audios[i] = a
     print(f"teacher synthesis: {time.perf_counter() - t0:.1f}s "
-          f"({sum(len(a) for a in audios) / sr:.0f} audio-s)")
+          f"({sum(len(a) for a in audios) / sr:.0f} audio-s, "
+          f"{speakers} speaker(s))")
 
     audio_cfg = AudioConfig(sample_rate=sr)
     cache_dir = out / "cache" / str(sr)
@@ -98,12 +116,15 @@ def build_dataset(
             norm_path, spec_path = cache_norm_audio(
                 wav_path, cache_dir, audio_cfg, do_trim=False
             )
-            ds.write(json.dumps({
+            rec = {
                 "text": u["text"],
                 "phoneme_ids": u["phoneme_ids"],
                 "audio_norm_path": str(norm_path),
                 "audio_spec_path": str(spec_path),
-            }) + "\n")
+            }
+            if speakers > 1:
+                rec["speaker_id"] = i % speakers
+            ds.write(json.dumps(rec) + "\n")
 
     config = {
         "dataset": "self_distill",
@@ -115,8 +136,10 @@ def build_dataset(
         "phoneme_map": {},
         "phoneme_id_map": id_map,
         "num_symbols": num_symbols,
-        "num_speakers": 1,
-        "speaker_id_map": {},
+        "num_speakers": speakers,
+        "speaker_id_map": {
+            f"spk{k}": k for k in range(speakers)
+        } if speakers > 1 else {},
         "piper_version": "piper_tpu 0.1.0",
     }
     (out / "config.json").write_text(
@@ -148,6 +171,11 @@ def main(argv=None) -> None:
     ap.add_argument("--ckpt-name", default="ckpt",
                     help="Checkpoint subdir under --out (lets several "
                          "family runs share one dataset)")
+    ap.add_argument("--speakers", type=int, default=1,
+                    help="N differently-seeded teachers -> multi-speaker "
+                         "dataset; the student trains with speaker "
+                         "embeddings and is evaluated with a sid-swap "
+                         "control")
     ap.add_argument("--validate-steps", type=int, default=0,
                     help="Validation cadence (0 = twice per run)")
     args = ap.parse_args(argv)
@@ -166,7 +194,8 @@ def main(argv=None) -> None:
         build_dataset(args.out, args.quality, args.seed,
                       max_utterances=args.max_utterances,
                       teacher_path=args.teacher,
-                      teacher_config=args.teacher_config)
+                      teacher_config=args.teacher_config,
+                      speakers=args.speakers)
 
     from piper_tpu.train.__main__ import main as train_main
 
@@ -246,13 +275,7 @@ def eval_exported_voice(
         for l in (out / "dataset.jsonl").read_text().splitlines()
     ][:16]
 
-    def mel_l1(voice) -> float:
-        syn = SynthesisConfig(seed=seed)
-        audios = voice.synthesize_ids_batch(
-            [r["phoneme_ids"] for r in records], syn=syn
-        )
-        a = voice.model_cfg.audio
-
+    def make_mel(a):
         def mel(x):
             return np.asarray(mel_spectrogram(
                 x[None, :], sample_rate=a.sample_rate,
@@ -261,8 +284,17 @@ def eval_exported_voice(
                 fmin=a.mel_fmin, fmax=a.mel_fmax,
             ))[0]
 
+        return mel
+
+    def score(voice, recs, sid=None) -> float:
+        syn = SynthesisConfig(seed=seed, speaker_id=sid)
+        audios = voice.synthesize_ids_batch(
+            [r["phoneme_ids"] for r in recs], syn=syn
+        )
+        a = voice.model_cfg.audio
+        mel = make_mel(a)
         tot, n = 0.0, 0
-        for r, audio in zip(records, audios):
+        for r, audio in zip(recs, audios):
             teacher = np.load(r["audio_norm_path"])
             m = min(len(audio), len(teacher))
             if m < a.filter_length:
@@ -273,21 +305,55 @@ def eval_exported_voice(
             n += 1
         return tot / max(n, 1)
 
+    def mel_l1(voice) -> float:
+        ns = voice.config.num_speakers
+        if ns <= 1:
+            return score(voice, records)
+        # multi-speaker: score each speaker's utterances at its own sid
+        per = [
+            score(voice, [r for r in records
+                          if r.get("speaker_id", 0) == s], sid=s)
+            for s in range(ns)
+        ]
+        return float(np.mean(per))
+
     trained = TpuVoice.load(voice_path, out / "config.json")
     vcfg = trained.config
     untrained = TpuVoice.random(
-        quality, num_symbols=vcfg.num_symbols, seed=seed + 99,
+        quality, num_symbols=vcfg.num_symbols,
+        num_speakers=vcfg.num_speakers, seed=seed + 99,
         variant=variant, vocoder=vocoder,
     )
     untrained.config = vcfg
     l1_trained = mel_l1(trained)
     l1_untrained = mel_l1(untrained)
-    return {
+    result = {
         "exported_voice": str(voice_path),
         "serve_mel_l1_trained": round(l1_trained, 4),
         "serve_mel_l1_untrained_control": round(l1_untrained, 4),
         "improvement": round(l1_untrained / max(l1_trained, 1e-9), 2),
     }
+    if vcfg.num_speakers > 1:
+        # Speaker-conditioning evidence: score each speaker's
+        # utterances with the CORRECT sid vs a SWAPPED sid. A student
+        # whose speaker embedding actually routes conditioning
+        # reproduces its own teacher far better than the other
+        # teacher's (correct << swapped).
+        sep = {}
+        for s in range(vcfg.num_speakers):
+            recs = [r for r in records if r.get("speaker_id", 0) == s]
+            if not recs:
+                continue
+            correct = round(score(trained, recs, sid=s), 4)
+            swapped = round(
+                score(trained, recs, sid=(s + 1) % vcfg.num_speakers), 4
+            )
+            sep[f"speaker_{s}"] = {
+                "correct": correct, "swapped": swapped,
+                "separation": round(swapped / max(correct, 1e-9), 2),
+            }
+        result["speaker_separation"] = sep
+    return result
 
 
 if __name__ == "__main__":
