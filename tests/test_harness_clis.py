@@ -74,3 +74,33 @@ def test_infer_cli(voice_files, monkeypatch, tmp_path):
 
     sr, data = read_wav(wavs[0])
     assert sr == 16000 and len(data) > 100
+
+
+def test_warm_cache_cli(voice_files, tmp_path):
+    """piper-tpu-warm drives TpuVoice.warmup(full) end to end and
+    populates the configured compilation cache directory. Runs in a
+    subprocess: jax binds the persistent-cache directory at first use,
+    so an in-process run would inherit whatever an earlier test set."""
+    import os
+    import subprocess
+
+    cache = tmp_path / "cache"
+    env = dict(
+        os.environ,
+        PIPER_TPU_CACHE=str(cache),
+        JAX_PLATFORMS="cpu",
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+        PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+    )
+    subprocess.run(
+        [sys.executable, "-m", "piper_tpu.tools.warm_cache",
+         "-m", str(voice_files),
+         "--batch-sizes", "1",
+         "--max-phoneme-bucket", "32",
+         "--max-frame-bucket", "128",
+         "--threads", "2"],
+        env=env, check=True, timeout=500,
+    )
+    assert cache.is_dir() and any(cache.iterdir()), (
+        "warm run left no entries in the persistent compilation cache"
+    )
