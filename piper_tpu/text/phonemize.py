@@ -81,14 +81,73 @@ def _load_espeak():
     )
 
 
+# Clause punctuation piper-phonemize reports as terminators
+# (reference: phonemize.cpp CLAUSE_* handling used by piper.cpp:508).
+_CLAUSE_RE = re.compile(r"[^,.;:!?…]+|[,.;:!?…]")
+
+
+def split_clauses(sentence: str) -> List[tuple]:
+    """(clause_text, terminator_or_None, space_after) triples for one
+    sentence. space_after records whether whitespace followed the
+    terminator in the source text — piper-phonemize emits the ' '
+    phoneme after a clause mark only when the text had one
+    ("a, b" -> [',', ' '] but "a,b" -> [','])."""
+    out: List[tuple] = []
+    for m in _CLAUSE_RE.finditer(sentence):
+        tok = m.group(0)
+        if tok in ",.;:!?…":
+            space_after = sentence[m.end():m.end() + 1].isspace()
+            if out and out[-1][1] is None:
+                out[-1] = (out[-1][0], tok, space_after)
+            else:
+                out.append(("", tok, space_after))
+        elif tok.strip():
+            out.append((tok.strip(), None, False))
+    return out
+
+
+def reconstruct_clause_phonemes(
+    sentence: str, clause_ipa: List[str]
+) -> List[str]:
+    """Rebuild the piper-phonemize phoneme contract from per-clause
+    stock-espeak IPA strings.
+
+    The reference's patched espeak reports each clause's terminator
+    (espeak_TextToPhonemesWithTerminator, piper.cpp:218-219), and
+    piper-phonemize emits: word phonemes with single-space separators,
+    the clause punctuation mark as a phoneme, then ' ' between clauses
+    (fixtures: [... 'n', ',', ' ', 'ɹ', ...] ... ending '.'). Stock
+    espeak_TextToPhonemes drops the punctuation, so the terminators
+    are reconstructed here from the sentence TEXT instead — same
+    information, taken from the input rather than a patched API.
+    `clause_ipa[i]` is espeak's IPA for the i-th clause text from
+    split_clauses."""
+    clauses = split_clauses(sentence)
+    phonemes: List[str] = []
+    for i, ((_, term, space_after), ipa) in enumerate(
+        zip(clauses, clause_ipa)
+    ):
+        # normalize espeak whitespace (chunks may carry newlines /
+        # doubled separators) to the single-space word separator
+        words = [w for w in ipa.split() if w]
+        for j, w in enumerate(words):
+            if j:
+                phonemes.append(" ")
+            phonemes.extend(w)  # one phoneme per codepoint
+        if term is not None:
+            phonemes.append(term)
+            if space_after and i + 1 < len(clauses):
+                phonemes.append(" ")
+    return phonemes
+
+
 def phonemize_espeak(text: str, voice: str) -> List[List[str]]:
     """IPA phonemes per sentence via espeak-ng.
 
     Prefers the piper_phonemize wheel (identical to the reference);
-    falls back to a direct espeak-ng ctypes call. Note the ctypes path
-    uses stock espeak_TextToPhonemes (the reference uses a patched
-    espeak with terminator reporting; clause punctuation phonemes may
-    differ slightly).
+    falls back to a direct espeak-ng ctypes call per CLAUSE, with the
+    clause terminators the patched reference espeak would report
+    reconstructed from the input text (reconstruct_clause_phonemes).
     """
     try:
         import piper_phonemize  # type: ignore
@@ -109,22 +168,31 @@ def phonemize_espeak(text: str, voice: str) -> List[List[str]]:
 
     results: List[List[str]] = []
     for sentence in split_sentences(text):
-        buf = ctypes.create_string_buffer(sentence.encode("utf-8"))
-        ptr = ctypes.cast(
-            ctypes.pointer(ctypes.cast(buf, ctypes.c_void_p)),
-            ctypes.POINTER(ctypes.c_void_p),
-        )
-        phoneme_chunks = []
-        while ptr.contents.value:
-            # textmode=espeakCHARS_UTF8(1), phonememode: bit0=0 ->
-            # phoneme names; 0x02 -> IPA
-            chunk = lib.espeak_TextToPhonemes(ptr, 1, 0x02)
-            if not chunk:
-                break
-            phoneme_chunks.append(chunk.decode("utf-8"))
-        joined = " ".join(phoneme_chunks)
-        results.append([c for c in joined if not c.isspace()] + list(". "))
+        clause_ipa = [
+            _espeak_text_to_ipa(lib, clause)
+            for clause, _, _ in split_clauses(sentence)
+        ]
+        results.append(reconstruct_clause_phonemes(sentence, clause_ipa))
     return results
+
+
+def _espeak_text_to_ipa(lib, clause: str) -> str:
+    """One stock espeak_TextToPhonemes call chain over a clause."""
+    if not clause:
+        return ""
+    buf = ctypes.create_string_buffer(clause.encode("utf-8"))
+    ptr = ctypes.cast(
+        ctypes.pointer(ctypes.cast(buf, ctypes.c_void_p)),
+        ctypes.POINTER(ctypes.c_void_p),
+    )
+    chunks = []
+    while ptr.contents.value:
+        # textmode=espeakCHARS_UTF8(1); phonememode 0x02 -> IPA
+        chunk = lib.espeak_TextToPhonemes(ptr, 1, 0x02)
+        if not chunk:
+            break
+        chunks.append(chunk.decode("utf-8"))
+    return " ".join(chunks)
 
 
 # ---------------------------------------------------------------------------
