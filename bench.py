@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--precision", default="fast", choices=["fast", "parity"])
+    ap.add_argument(
+        "--wire", default="int16", choices=["int16", "mulaw"],
+        help="packed-transfer wire format: int16 (lossless PCM, the "
+        "headline) or mulaw (G.711, 1 byte/sample — halves link bytes "
+        "per audio-second on bandwidth-bound hosts; lossy, reported as "
+        "a secondary number)",
+    )
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -79,6 +86,7 @@ def main():
         phoneme_buckets=[512],
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
         decode_grouping="uniform",
+        wire_format=args.wire,
     )
     sr = voice.config.sample_rate
     syn = SynthesisConfig(seed=0)
@@ -141,6 +149,7 @@ def main():
             "vocoder": args.vocoder,
             "batch": args.batch,
             "precision": args.precision,
+            "wire": args.wire,
             "sample_rate": sr,
             "audio_seconds_per_batch": round(audio_seconds, 2),
             "batch_wall_s_pipelined": round(infer_sec, 4),

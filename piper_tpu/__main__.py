@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--download-dir", "--download_dir")
     parser.add_argument("--update-voices", action="store_true")
     parser.add_argument("--precision", choices=["parity", "fast"], default="fast")
+    parser.add_argument("--wire-format", "--wire_format",
+                        choices=["int16", "mulaw"], default="int16",
+                        help="Packed device->host transfer format: int16 "
+                             "PCM (default, lossless) or G.711 mu-law "
+                             "encoded ON DEVICE (1 byte/sample — halves "
+                             "link bytes/audio-second on bandwidth-bound "
+                             "hosts; lossy; needs --precision fast)")
     parser.add_argument("--seed", type=int, help="Deterministic synthesis seed")
     parser.add_argument("--batch", action="store_true",
                         help="Synthesize all stdin lines as one bucketed batch")
@@ -103,7 +110,10 @@ def load_voice(args) -> TpuVoice:
                 f"registry could not be reached ({e}). Pass a path to a "
                 "local voice, or place voices.json in the download dir."
             )
-    return TpuVoice.load(args.model, args.config, precision=args.precision)
+    return TpuVoice.load(
+        args.model, args.config, precision=args.precision,
+        wire_format=getattr(args, "wire_format", "int16"),
+    )
 
 
 def main(argv=None) -> None:

@@ -55,6 +55,31 @@ def mulaw_encode(pcm: np.ndarray) -> np.ndarray:
     return ((uval ^ mask) & 0xFF).astype(np.uint8)
 
 
+def mulaw_encode_jnp(pcm):
+    """int16 -> uint8 G.711 mu-law codes, in-graph (jax).
+
+    Bit-exact with mulaw_encode (tests/test_codec.py exhausts the full
+    int16 domain). Used by the serving runtime to emit the packed
+    device->host buffer directly in mu-law — 1 byte/sample instead of
+    2 — when the host link is the throughput floor
+    (TpuVoice(wire_format="mulaw"); docs/BENCH_NOTES.md). Pure VPU
+    integer ops: the segment index is 8 compares, the variable shift
+    is an elementwise right_shift.
+    """
+    import jax.numpy as jnp
+
+    x = pcm.astype(jnp.int32) >> 2
+    mask = jnp.where(x < 0, 0x7F, 0xFF)
+    mag = jnp.minimum(jnp.abs(x), _CLIP14) + _BIAS14
+    seg = jnp.zeros(mag.shape, jnp.int32)
+    for ue in _SEG_UEND.tolist():
+        seg = seg + (mag > ue).astype(jnp.int32)
+    seg_c = jnp.minimum(seg, 7)
+    uval = (seg_c << 4) | ((mag >> (seg_c + 1)) & 0x0F)
+    uval = jnp.where(seg >= 8, 0x7F, uval)
+    return ((uval ^ mask) & 0xFF).astype(jnp.uint8)
+
+
 def mulaw_decode(codes: np.ndarray) -> np.ndarray:
     """uint8 G.711 mu-law codes -> int16 PCM."""
     from .. import native

@@ -135,10 +135,22 @@ class TpuVoice:
         phonemizer: Optional[object] = None,
         mesh=None,
         decode_grouping: str = "bucketed",
+        wire_format: str = "int16",
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis —
         batches are sharded across it (rows padded up to a multiple of
         the axis size), params replicated; multi-chip serving.
+
+        `wire_format`: dtype of the packed device->host transfer.
+          "int16" (default): lossless PCM, 2 bytes/sample.
+          "mulaw": G.711 mu-law encoded ON DEVICE, 1 byte/sample —
+              halves the link bytes per audio-second. For deployments
+              where the device->host link (or the network behind it)
+              is the throughput floor and the consumer is
+              telephony-grade anyway (the CLI/server's raw mu-law
+              output modes). Lossy (G.711, ~38 dB SNR); collect()
+              still returns float32 (decoded host-side via the LUT).
+              Requires precision="fast" (the int16 device path).
 
         `decode_grouping`:
           "bucketed" (default): split each batch's rows into
@@ -192,6 +204,14 @@ class TpuVoice:
         if decode_grouping not in ("bucketed", "uniform"):
             raise ValueError(f"decode_grouping: {decode_grouping!r}")
         self.decode_grouping = decode_grouping
+        if wire_format not in ("int16", "mulaw"):
+            raise ValueError(f"wire_format: {wire_format!r}")
+        if wire_format == "mulaw" and precision == "parity":
+            raise ValueError(
+                "wire_format='mulaw' needs the int16 device path "
+                "(precision='fast'); parity mode transfers float32"
+            )
+        self.wire_format = wire_format
 
         cfg = model_cfg
         dtype = self.dtype
@@ -308,18 +328,11 @@ class TpuVoice:
 
         u_factor = model_cfg.upsample_factor
 
-        def pack2_fn(audio_list, ylen_list, a0, total):
-            """Speculative self-describing pack: compacts the decode
-            groups' valid samples by their *device-known* true lengths
-            and prepends a header with the true frame counts — the host
-            needs no frame sync before this single transfer.
-
-            Layout (int16): [lo15(frames_r), hi(frames_r)] * R padded to
-            a0, then rows' valid samples back to back. Rows whose audio
-            did not fit (bucket or total overflow) are detected by the
-            host from the header and re-fetched exactly (rare; the
-            estimator calibrates on every batch).
-            """
+        def _pack2_body(audio_list, ylen_list, a0, total):
+            """Shared core of the speculative pack: compacts the decode
+            groups' valid samples by their *device-known* true lengths.
+            Returns (ylens, int16 body of total-a0 samples laid out at
+            offsets a0 + cumsum(valid))."""
             ylens = jnp.concatenate(ylen_list).astype(jnp.int32)  # (R,)
             caps, srcs, base = [], [], 0
             for a in audio_list:
@@ -333,11 +346,6 @@ class TpuVoice:
             out_starts = a0 + jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(valid)[:-1]]
             )
-            hdr = jnp.stack(
-                [(ylens & 0x7FFF).astype(jnp.int16),
-                 (ylens >> 15).astype(jnp.int16)], axis=1
-            ).reshape(-1)
-            hdr = jnp.pad(hdr, (0, a0 - hdr.shape[0])).astype(jnp.int16)
             flat = jnp.concatenate([a.reshape(-1) for a in audio_list])
             k = jax.lax.iota(jnp.int32, total - a0) + a0
             row = (
@@ -349,7 +357,48 @@ class TpuVoice:
             row = jnp.clip(row, 0, src_starts.shape[0] - 1)
             idx = src_starts[row] + (k - out_starts[row])
             body = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+            return ylens, body
+
+        def pack2_fn(audio_list, ylen_list, a0, total):
+            """Speculative self-describing pack: the host needs no
+            frame sync before this single transfer.
+
+            Layout (int16): [lo15(frames_r), hi(frames_r)] * R padded to
+            a0, then rows' valid samples back to back. Rows whose audio
+            did not fit (bucket or total overflow) are detected by the
+            host from the header and re-fetched exactly (rare; the
+            estimator calibrates on every batch).
+            """
+            ylens, body = _pack2_body(audio_list, ylen_list, a0, total)
+            hdr = jnp.stack(
+                [(ylens & 0x7FFF).astype(jnp.int16),
+                 (ylens >> 15).astype(jnp.int16)], axis=1
+            ).reshape(-1)
+            hdr = jnp.pad(hdr, (0, a0 - hdr.shape[0])).astype(jnp.int16)
             return jnp.concatenate([hdr, body.astype(jnp.int16)])
+
+        def pack2_mulaw_fn(audio_list, ylen_list, a0, total):
+            """Speculative pack on a mu-law wire (uint8, 1 byte/sample;
+            see wire_format). a0/total are BYTE counts; the header
+            spends 4 bytes/row (frames little-endian in bytes 0-2,
+            byte 3 reserved) and sample offsets equal byte offsets."""
+            from .codec import mulaw_encode_jnp
+
+            ylens, body = _pack2_body(audio_list, ylen_list, a0, total)
+            hdr = jnp.stack(
+                [ylens & 0xFF, (ylens >> 8) & 0xFF, (ylens >> 16) & 0xFF,
+                 jnp.zeros_like(ylens)],
+                axis=1,
+            ).reshape(-1)
+            hdr = jnp.pad(hdr, (0, a0 - hdr.shape[0])).astype(jnp.uint8)
+            return jnp.concatenate([hdr, mulaw_encode_jnp(body)])
+
+        def pack_mulaw_fn(audio_list, starts, total):
+            """pack_fn on a mu-law wire: byte k of the output is sample
+            k of the int16 pack (offsets are 1:1)."""
+            from .codec import mulaw_encode_jnp
+
+            return mulaw_encode_jnp(pack_fn(audio_list, starts, total))
 
         # fold_in per utterance, batched into one dispatch (seeded mode).
         self._fold_keys = jax.jit(
@@ -393,6 +442,12 @@ class TpuVoice:
             self._pack2 = jax.jit(
                 pack2_fn, static_argnums=(2, 3), out_shardings=rep
             )
+            self._pack_mulaw = jax.jit(
+                pack_mulaw_fn, static_argnums=(2,), out_shardings=rep
+            )
+            self._pack2_mulaw = jax.jit(
+                pack2_mulaw_fn, static_argnums=(2, 3), out_shardings=rep
+            )
         else:
             self._data_size = 1
             self._encode = jax.jit(encode_fn)
@@ -400,6 +455,10 @@ class TpuVoice:
             self._vocode = self._vocode_nog = jax.jit(vocode_fn)
             self._pack = jax.jit(pack_fn, static_argnums=(2,))
             self._pack2 = jax.jit(pack2_fn, static_argnums=(2, 3))
+            self._pack_mulaw = jax.jit(pack_mulaw_fn, static_argnums=(2,))
+            self._pack2_mulaw = jax.jit(
+                pack2_mulaw_fn, static_argnums=(2, 3)
+            )
 
     def _plan_decode_groups(self, frame_counts) -> List[Tuple[int, List[int]]]:
         """[(frame_bucket, row_positions)] for one encode group's rows
@@ -731,7 +790,11 @@ class TpuVoice:
                     ]
                 )
             )
-            packed = self._pack(tuple(pack_audio), starts, total)
+            packed = (
+                self._pack_mulaw
+                if self.wire_format == "mulaw"
+                else self._pack
+            )(tuple(pack_audio), starts, total)
             # Start the device->host copy as early as possible (right
             # after pack computes). The host link is FIFO, so the next
             # batch's tiny frame-count sync queues behind this copy —
@@ -830,12 +893,15 @@ class TpuVoice:
                         int(lengths[indices[row]] * rm * u) + 4 * u, cap
                     )
         r = len(spec_rows)
-        a0 = -(-2 * r // 128) * 128
+        mulaw = self.wire_format == "mulaw"
+        # header: 2 int16 slots/row (int16 wire) or 4 bytes/row (mu-law
+        # wire, where a0/total count BYTES and 1 sample = 1 byte)
+        a0 = -(-(4 if mulaw else 2) * r // 128) * 128
         q = self._PACK_QUANTUM
         total = a0 + max(
             q, -(-int(est_total * 1.12) // q) * q
         )
-        packed = self._pack2(
+        packed = (self._pack2_mulaw if mulaw else self._pack2)(
             tuple(spec_audio), tuple(spec_ylens), a0, total
         )
         try:
@@ -860,12 +926,36 @@ class TpuVoice:
             "u": u,
         }
 
+    def _seg_to_float(self, seg: np.ndarray) -> np.ndarray:
+        """One wire segment -> float32 (decodes the wire codec)."""
+        if seg.dtype == np.uint8:
+            from . import codec
+
+            seg = codec.mulaw_decode(seg)
+        return native.int16_to_float(seg)
+
+    def _int16_through_wire(self, seg: np.ndarray) -> np.ndarray:
+        """int16 row fetched OUTSIDE the packed transfer (speculative
+        re-fetch/re-decode) -> float32, routed through the wire codec
+        so a row's audio is bit-identical whether it came packed or
+        not."""
+        if self.wire_format == "mulaw":
+            from . import codec
+
+            seg = codec.mulaw_decode(codec.mulaw_encode(seg))
+        return native.int16_to_float(seg)
+
     def _collect_speculative(self, spec: dict, results, u) -> None:
         flat = np.asarray(spec["packed"])
         rows = spec["rows"]
         r = len(rows)
-        hdr = flat[: 2 * r].astype(np.int32)
-        true_frames = (hdr[1::2] << 15) | (hdr[0::2] & 0x7FFF)
+        if flat.dtype == np.uint8:
+            # mu-law wire: 4-byte little-endian frame counts
+            hdr = flat[: 4 * r].astype(np.int32).reshape(r, 4)
+            true_frames = hdr[:, 0] | (hdr[:, 1] << 8) | (hdr[:, 2] << 16)
+        else:
+            hdr = flat[: 2 * r].astype(np.int32)
+            true_frames = (hdr[1::2] << 15) | (hdr[0::2] & 0x7FFF)
         total = spec["total"]
         out = spec["a0"]
         # rows needing exact re-fetch: (list_pos, true_n)
@@ -878,7 +968,7 @@ class TpuVoice:
             valid = min(n_true, cap)
             if n_true <= cap and out + valid <= total:
                 seg = flat[out : out + valid]
-                results[res_idx] = native.int16_to_float(seg)
+                results[res_idx] = self._seg_to_float(seg)
             elif n_true <= cap:
                 refetch.append((i, n_true))
             else:
@@ -887,7 +977,7 @@ class TpuVoice:
         for i, n_true in refetch:
             res_idx, cap, g_no, row_i, *_ = rows[i]
             seg = np.asarray(spec["audio"][g_no][row_i, :n_true])
-            results[res_idx] = native.int16_to_float(seg)
+            results[res_idx] = self._int16_through_wire(seg)
         if redecode:
             _LOGGER.debug(
                 "speculative bucket overflow: re-decoding %d rows",
@@ -906,7 +996,7 @@ class TpuVoice:
             )
             n = min(frames, int(fbucket)) * u
             seg = np.asarray(audio[0, :n])
-            results[res_idx] = native.int16_to_float(seg)
+            results[res_idx] = self._int16_through_wire(seg)
         # calibrate from the true counts
         ratios = [
             float(true_frames[i]) / rows[i][6]
@@ -926,8 +1016,8 @@ class TpuVoice:
             self._collect_speculative(handle["spec"], results, u)
         if handle.get("packed") is not None:
             flat = np.asarray(handle["packed"])
-            if flat.dtype == np.int16:
-                flat = native.int16_to_float(flat)
+            if flat.dtype in (np.int16, np.uint8):
+                flat = self._seg_to_float(flat)
             else:
                 flat = flat.astype(np.float32)
             for res_idx, out_start, n in handle["pack_rows"]:
@@ -935,7 +1025,9 @@ class TpuVoice:
         for indices, rows, frames, audio in handle["decode_groups"]:
             audio_np = np.asarray(audio)
             if audio_np.dtype == np.int16:
-                audio_np = native.int16_to_float(audio_np)
+                # route through the wire codec (identity for int16) so
+                # multi-host rows match packed-path audio bit-exactly
+                audio_np = self._int16_through_wire(audio_np)
             else:
                 audio_np = audio_np.astype(np.float32)
             for row_i, row in enumerate(rows):
@@ -1171,15 +1263,20 @@ class TpuVoice:
             r = audio0.shape[0]
             total = self._PACK_QUANTUM
             starts = jnp.zeros((2, r), jnp.int32)
+            mulaw = self.wire_format == "mulaw"
             jax.block_until_ready(
-                self._pack((audio0,), starts, total)
+                (self._pack_mulaw if mulaw else self._pack)(
+                    (audio0,), starts, total
+                )
             )
             if self.precision != "parity":
                 # pack2 (speculative self-describing transfer) is
                 # int16-only, like the fast-precision path that uses it.
-                a0 = -(-2 * r // 128) * 128
+                a0 = -(-(4 if mulaw else 2) * r // 128) * 128
                 jax.block_until_ready(
-                    self._pack2((audio0,), (yl0,), a0, a0 + total)
+                    (self._pack2_mulaw if mulaw else self._pack2)(
+                        (audio0,), (yl0,), a0, a0 + total
+                    )
                 )
             if ratio_prior is not None:
                 with self._ratio_lock:

@@ -63,3 +63,16 @@ def test_encode_chunk_formats():
     with pytest.raises(ValueError):
         encode_chunk(audio, "opus")
     assert set(RAW_FORMATS) == {"s16le", "mulaw"}
+
+
+def test_mulaw_encode_jnp_bit_exact_exhaustive():
+    """The in-graph (device-side) encoder used by wire_format='mulaw'
+    must match the host codec on every int16 value."""
+    import jax
+    import jax.numpy as jnp
+
+    from piper_tpu.runtime.codec import mulaw_encode_jnp
+
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    dev = np.asarray(jax.jit(mulaw_encode_jnp)(jnp.asarray(pcm)))
+    assert np.array_equal(dev, mulaw_encode(pcm))

@@ -221,3 +221,81 @@ def test_speculative_misprediction_recovery(fast_voice):
     trunc = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
     for a, b in zip(baseline, trunc):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def mulaw_voice():
+    """Same graph/weights as fast_voice, mu-law packed wire."""
+    config = VoiceConfig.from_file(REF_CONFIG)
+    model_cfg = config.model_config()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    return TpuVoice(
+        params, model_cfg, config,
+        phonemizer=FixturePhonemizer(REF_JSONL),
+        seed=0,
+        precision="fast",
+        phoneme_buckets=[64, 128, 256, 512],
+        frame_buckets=[128, 256, 512, 1024, 2048],
+        wire_format="mulaw",
+    )
+
+
+def test_wire_mulaw_matches_int16_through_codec(fast_voice, mulaw_voice):
+    """wire_format='mulaw' serving == the int16 wire's audio routed
+    through the G.711 codec (the wire is lossy but deterministically
+    so), on both the exact first batch and the speculative
+    steady-state path."""
+    from piper_tpu import native
+    from piper_tpu.runtime import codec
+
+    recs = [json.loads(l) for l in open(REF_JSONL)][:6]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=3)
+    ref = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    assert mulaw_voice._ratio is None
+    exact = mulaw_voice.synthesize_ids_batch(ids_list, syn=syn)
+    assert mulaw_voice._ratio is not None
+    spec = mulaw_voice.synthesize_ids_batch(ids_list, syn=syn)
+    for r, a, b in zip(ref, exact, spec):
+        # recover the device int16 wire samples from the float output
+        # (exact: |f*32767 - i| << 0.5 for all int16)
+        i16 = np.round(np.asarray(r) * 32767.0).astype(np.int16)
+        expect = native.int16_to_float(
+            codec.mulaw_decode(codec.mulaw_encode(i16))
+        )
+        np.testing.assert_array_equal(np.asarray(a), expect)
+        np.testing.assert_array_equal(np.asarray(b), expect)
+
+
+def test_wire_mulaw_misprediction_recovery(mulaw_voice):
+    """Speculative re-decode/re-fetch rows must match the packed wire
+    bit-exactly (they are routed through the same codec host-side)."""
+    recs = [json.loads(l) for l in open(REF_JSONL)][:5]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=9)
+    baseline = mulaw_voice.synthesize_ids_batch(ids_list, syn=syn)
+
+    saved = mulaw_voice._ratio
+    try:
+        mulaw_voice._ratio = (0.01, 0.01)  # every row overflows
+        low = mulaw_voice.synthesize_ids_batch(ids_list, syn=syn)
+        for a, b in zip(baseline, low):
+            np.testing.assert_array_equal(a, b)
+
+        mulaw_voice._ratio = (0.001, 50.0)  # packed buffer truncates
+        trunc = mulaw_voice.synthesize_ids_batch(ids_list, syn=syn)
+        for a, b in zip(baseline, trunc):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        mulaw_voice._ratio = saved
+
+
+def test_wire_mulaw_rejects_parity():
+    config = VoiceConfig.from_file(REF_CONFIG)
+    model_cfg = config.model_config()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    with pytest.raises(ValueError, match="mulaw"):
+        TpuVoice(
+            params, model_cfg, config, precision="parity",
+            wire_format="mulaw",
+        )
