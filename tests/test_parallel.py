@@ -263,3 +263,44 @@ def test_uniform_grouping_matches_bucketed():
     c = uniform.collect(h)
     for x, y in zip(a, c):
         np.testing.assert_array_equal(x, y)
+
+
+def test_mesh_wire_mulaw_identical():
+    """mu-law packed wire under a data mesh == single-chip mu-law wire
+    bit-exactly (the packed buffer is all-gathered, then LUT-decoded
+    host-side identically)."""
+    from piper_tpu.config import SynthesisConfig
+
+    mesh = make_mesh(data=8, model=1)
+    cfg = small_cfg()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), cfg)
+    from piper_tpu.config import InferenceDefaults, VoiceConfig
+    from piper_tpu.runtime.voice import TpuVoice
+
+    id_map = {chr(32 + i): [i] for i in range(cfg.num_symbols)}
+    id_map.update({"_": [0], "^": [1], "$": [2]})
+    config = VoiceConfig(
+        num_symbols=cfg.num_symbols, num_speakers=1,
+        sample_rate=cfg.audio.sample_rate, espeak_voice="en-us",
+        inference=InferenceDefaults(), phoneme_id_map=id_map,
+    )
+    kw = dict(
+        phoneme_buckets=[64], frame_buckets=[256, 512], seed=0,
+        precision="fast", wire_format="mulaw",
+    )
+    single = TpuVoice(params, cfg, config, **kw)
+    meshed = TpuVoice(params, cfg, config, mesh=mesh, **kw)
+    rng = np.random.default_rng(11)
+    ids_list = [
+        rng.integers(3, 40, rng.integers(8, 40)).tolist() for _ in range(6)
+    ]
+    syn = SynthesisConfig(seed=7)
+    ref = single.synthesize_ids_batch(ids_list, syn=syn)
+    ref2 = single.synthesize_ids_batch(ids_list, syn=syn)  # speculative
+    with mesh:
+        out = meshed.synthesize_ids_batch(ids_list, syn=syn)
+        out2 = meshed.synthesize_ids_batch(ids_list, syn=syn)
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(out2, ref2):
+        np.testing.assert_array_equal(a, b)
