@@ -1270,8 +1270,8 @@ class TpuVoice:
                 )
             )
             if self.precision != "parity":
-                # pack2 (speculative self-describing transfer) is
-                # int16-only, like the fast-precision path that uses it.
+                # pack2 (speculative self-describing transfer) only
+                # exists for the fast-precision path that uses it.
                 a0 = -(-(4 if mulaw else 2) * r // 128) * 128
                 jax.block_until_ready(
                     (self._pack2_mulaw if mulaw else self._pack2)(
