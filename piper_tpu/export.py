@@ -8,7 +8,12 @@ voice/checkpoint into
   - a piper-compatible .onnx (--format onnx, onnx_io/graph.py): same
     input/output contract as the reference export (export_onnx.py:
     88-101), so voices trained here run under the original piper
-    runtimes (onnxruntime C++/Python).
+    runtimes (onnxruntime C++/Python), or
+  - a TorchScript trace / pickled torch generator (--format
+    torchscript|generator, export_torch.py): the reference
+    export_torchscript.py / export_generator.py artifacts, runnable
+    under piper_train's infer_torchscript/infer_generator (requires
+    piper_train importable).
 
 Usage:
   python -m piper_tpu.export --input epoch=...ckpt --config config.json \
@@ -37,9 +42,12 @@ def main(argv=None) -> None:
                         "or .npz")
     p.add_argument("--config", help="Voice JSON config (default: <input>.json)")
     p.add_argument("--output", required=True, help="Output path")
-    p.add_argument("--format", choices=("npz", "onnx"), default="npz",
-                   help="Output artifact: native .npz (default) or a "
-                        "piper-compatible .onnx")
+    p.add_argument("--format", choices=("npz", "onnx", "torchscript",
+                                        "generator"), default="npz",
+                   help="Output artifact: native .npz (default), a "
+                        "piper-compatible .onnx, a TorchScript trace "
+                        "(.ts, needs piper_train importable), or a "
+                        "pickled torch generator (.pt, ditto)")
     p.add_argument("--include-posterior", action="store_true",
                    help="Keep the posterior encoder (needed for voice "
                         "conversion; .ckpt inputs only)")
@@ -77,6 +85,14 @@ def main(argv=None) -> None:
         from .onnx_io import export_onnx_voice
 
         export_onnx_voice(params, cfg, args.output)
+    elif args.format == "torchscript":
+        from .export_torch import export_torchscript
+
+        export_torchscript(params, cfg, args.output)
+    elif args.format == "generator":
+        from .export_torch import export_generator
+
+        export_generator(params, cfg, args.output)
     else:
         save_native(args.output, params, cfg)
     _LOGGER.info("Wrote %s", args.output)
