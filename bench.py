@@ -101,6 +101,13 @@ def main():
 
     audio_seconds = sum(len(a) for a in out) / sr
 
+    # Let the speculative estimators settle (frames-per-id ratio and
+    # the packed-transfer margin snap within the first few batches;
+    # each snap re-sizes the transfer = a one-time jit shape) so the
+    # timed regions below see steady-state serving.
+    for _ in range(6):
+        voice.synthesize_ids_batch(ids_list, syn=syn)
+
     # Sequential (latency) timing.
     times = []
     for _ in range(args.reps):
@@ -109,16 +116,21 @@ def main():
         times.append(time.perf_counter() - t0)
     seq_sec = float(np.median(times))
 
-    # Pipelined (throughput) timing: batch N+1's device work overlaps
-    # batch N's device->host transfer (double-buffered serving).
-    n_pipe = max(args.reps, 4)
+    # Pipelined (throughput) timing: keep 3 batches in flight so the
+    # next batches' device work and transfers overlap the current
+    # collect (measured ~2-3% over double buffering — the third slot
+    # hides the submit/collect host gaps, deeper adds nothing).
+    n_pipe = max(args.reps * 2, 8)
+    depth = 3
     t0 = time.perf_counter()
-    handle = voice.submit(ids_list, syn=syn)
-    for _ in range(n_pipe - 1):
-        nxt = voice.submit(ids_list, syn=syn)
+    inflight = [voice.submit(ids_list, syn=syn) for _ in range(depth)]
+    done = 0
+    while done < n_pipe:
+        handle = inflight.pop(0)
+        if done + len(inflight) + 1 < n_pipe:
+            inflight.append(voice.submit(ids_list, syn=syn))
         voice.collect(handle)
-        handle = nxt
-    voice.collect(handle)
+        done += 1
     infer_sec = (time.perf_counter() - t0) / n_pipe
 
     # Host-link diagnostic: the tunneled d2h link (10-50 MB/s,

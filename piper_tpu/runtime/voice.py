@@ -408,6 +408,18 @@ class TpuVoice:
         # (mean, upper). None until the first exact batch calibrates.
         self._ratio: Optional[Tuple[float, float]] = None
         self._ratio_lock = threading.Lock()
+        # Headroom multiplier on the speculative packed-transfer body
+        # (transfer bytes = est_total * margin, quantized). Every
+        # point of margin is link bytes on every batch; every
+        # shortfall is a per-row re-fetch round trip. Starts
+        # conservative and adapts with hysteresis (piecewise constant,
+        # like _ratio, so the quantized total — a jit static arg —
+        # stays shape-stable): jumps past the realized need on any
+        # shortfall, tightens only after a full window of realized
+        # totals sits well below it.
+        self._spec_margin = 1.12
+        self._spec_calibrated = False
+        self._spec_need_hist: List[float] = []
 
         self.mesh = mesh
         # Packed single-transfer collection works whenever this process
@@ -898,8 +910,10 @@ class TpuVoice:
         # wire, where a0/total count BYTES and 1 sample = 1 byte)
         a0 = -(-(4 if mulaw else 2) * r // 128) * 128
         q = self._PACK_QUANTUM
+        with self._ratio_lock:
+            margin = self._spec_margin
         total = a0 + max(
-            q, -(-int(est_total * 1.12) // q) * q
+            q, -(-int(est_total * margin) // q) * q
         )
         packed = (self._pack2_mulaw if mulaw else self._pack2)(
             tuple(spec_audio), tuple(spec_ylens), a0, total
@@ -913,6 +927,7 @@ class TpuVoice:
                 "packed": packed,
                 "a0": a0,
                 "total": total,
+                "est_body": est_total,
                 "rows": spec_rows,
                 "audio": spec_audio,
                 "encode_groups": encode_groups,
@@ -997,6 +1012,44 @@ class TpuVoice:
             n = min(frames, int(fbucket)) * u
             seg = np.asarray(audio[0, :n])
             results[res_idx] = self._int16_through_wire(seg)
+        # calibrate the transfer-size margin from the realized body
+        # size (`out` ends at a0 + sum(valid) = what a perfectly sized
+        # transfer would have carried). `refetch` rows mean the margin
+        # fell short (re-decodes are the bucket estimator's miss, not
+        # the margin's); an empty refetch list feeds the tightening
+        # window.
+        est_body = spec.get("est_body") or 0
+        if est_body > 0:
+            need = (out - spec["a0"]) / est_body
+            with self._ratio_lock:
+                m = self._spec_margin
+                if refetch:
+                    self._spec_margin = min(
+                        max(need * 1.05, m * 1.05), 1.5
+                    )
+                    self._spec_calibrated = True
+                    self._spec_need_hist.clear()
+                elif not self._spec_calibrated:
+                    # Fast first calibration (like _ratio's): a short
+                    # window, then snap to the realized need. The
+                    # estimator's own per-row overshoot means need is
+                    # typically < 1, so the margin routinely lands
+                    # under 1.0 — the floor is only a sanity bound.
+                    self._spec_need_hist.append(need)
+                    if len(self._spec_need_hist) >= 4:
+                        self._spec_margin = min(
+                            max(max(self._spec_need_hist) * 1.05, 0.25),
+                            m,
+                        )
+                        self._spec_calibrated = True
+                        del self._spec_need_hist[:]
+                else:
+                    self._spec_need_hist.append(need)
+                    if len(self._spec_need_hist) >= 16:
+                        tight = max(self._spec_need_hist) * 1.04
+                        if tight < m - 0.02:
+                            self._spec_margin = max(tight, 0.25)
+                        del self._spec_need_hist[:-8]
         # calibrate from the true counts
         ratios = [
             float(true_frames[i]) / rows[i][6]

@@ -223,6 +223,46 @@ def test_speculative_misprediction_recovery(fast_voice):
         np.testing.assert_array_equal(a, b)
 
 
+def test_spec_margin_adapts(fast_voice):
+    """The packed-transfer headroom margin tightens on a steady
+    workload (after a full hysteresis window of realized totals) and
+    jumps back up after a forced shortfall — with exact audio
+    throughout."""
+    recs = [json.loads(l) for l in open(REF_JSONL)][:4]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=11)
+    saved = (fast_voice._ratio, fast_voice._spec_margin,
+             fast_voice._spec_calibrated,
+             list(fast_voice._spec_need_hist))
+    try:
+        fast_voice._ratio = None
+        fast_voice._spec_margin = 1.12
+        fast_voice._spec_calibrated = False
+        fast_voice._spec_need_hist.clear()
+        baseline = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+
+        for _ in range(6):
+            out = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+        assert fast_voice._spec_calibrated
+        assert fast_voice._spec_margin < 1.12
+        assert fast_voice._spec_margin > 0.25
+        for a, b in zip(baseline, out):
+            np.testing.assert_array_equal(a, b)
+
+        # Forced shortfall: margin far below the realized need ->
+        # refetch path serves exact audio and the margin steps up.
+        fast_voice._spec_margin = 0.05
+        fast_voice._spec_need_hist.clear()
+        short = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+        for a, b in zip(baseline, short):
+            np.testing.assert_array_equal(a, b)
+        assert fast_voice._spec_margin > 0.05
+    finally:
+        (fast_voice._ratio, fast_voice._spec_margin,
+         fast_voice._spec_calibrated, hist) = saved
+        fast_voice._spec_need_hist[:] = hist
+
+
 @pytest.fixture(scope="module")
 def mulaw_voice():
     """Same graph/weights as fast_voice, mu-law packed wire."""
