@@ -87,6 +87,7 @@ def main():
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
         decode_grouping="uniform",
         wire_format=args.wire,
+        estimator_cache=True,
     )
     sr = voice.config.sample_rate
     syn = SynthesisConfig(seed=0)

@@ -113,6 +113,7 @@ def load_voice(args) -> TpuVoice:
     return TpuVoice.load(
         args.model, args.config, precision=args.precision,
         wire_format=getattr(args, "wire_format", "int16"),
+        estimator_cache=True,
     )
 
 

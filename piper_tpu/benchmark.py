@@ -42,7 +42,8 @@ def main(argv=None) -> None:
     from .runtime.voice import TpuVoice
 
     start = time.perf_counter()
-    voice = TpuVoice.load(args.model, args.config, precision=args.precision)
+    voice = TpuVoice.load(args.model, args.config, precision=args.precision,
+                          estimator_cache=True)
     load_sec = time.perf_counter() - start
 
     utterances: List[List[int]] = []

@@ -45,7 +45,8 @@ def main(argv=None) -> None:
 
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    voice = TpuVoice.load(args.model, args.config, precision=args.precision)
+    voice = TpuVoice.load(args.model, args.config, precision=args.precision,
+                          estimator_cache=True)
     sr = voice.config.sample_rate
     syn = SynthesisConfig(
         seed=args.seed, noise_scale=args.noise_scale,

@@ -25,6 +25,7 @@ import dataclasses
 import json
 import logging
 import math
+import os
 import threading
 import time
 import zlib
@@ -136,6 +137,7 @@ class TpuVoice:
         mesh=None,
         decode_grouping: str = "bucketed",
         wire_format: str = "int16",
+        estimator_cache: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis —
         batches are sharded across it (rows padded up to a multiple of
@@ -161,7 +163,18 @@ class TpuVoice:
               collapses to one per frame bucket and each batch costs
               ~4 dispatches instead of ~2 per group — best when the
               host link round-trips dominate (tunneled/remote chips)
-              and for minimal cold start."""
+              and for minimal cold start.
+
+        `estimator_cache`: persist the calibrated serving estimators
+        (frames-per-id ratio, packed-transfer margin) in the
+        compilation-cache directory, keyed by voice weights + serving
+        shape knobs. A fresh process then starts at the converged
+        values — first batch goes straight down the speculative path
+        at pack shapes whose executables the persistent compile cache
+        already holds, skipping the exact-path sync and the
+        mid-serving margin-snap reshape. Opt-in (the CLI, server,
+        bench, and warm tools enable it); mispredictions from a
+        changed workload self-correct through the usual hysteresis."""
         _enable_compilation_cache()
         self.config = config
         self.model_cfg = model_cfg
@@ -420,6 +433,10 @@ class TpuVoice:
         self._spec_margin = 1.12
         self._spec_calibrated = False
         self._spec_need_hist: List[float] = []
+        self._estimator_cache_path: Optional[Path] = None
+        if estimator_cache:
+            self._estimator_cache_path = self._estimator_cache_file()
+            self._load_estimators()
 
         self.mesh = mesh
         # Packed single-transfer collection works whenever this process
@@ -839,6 +856,7 @@ class TpuVoice:
         obs_mean = float(np.mean(ratios))
         obs_max = float(np.max(ratios))
         with self._ratio_lock:
+            prev = self._ratio
             if self._ratio is None:
                 self._ratio = (obs_mean * 1.05, obs_max * 1.25)
             else:
@@ -853,6 +871,74 @@ class TpuVoice:
                 if obs_max * 1.1 > ru or obs_max * 2.0 < ru:
                     ru = obs_max * 1.25
                 self._ratio = (rm, ru)
+            if self._ratio != prev:
+                self._save_estimators_locked()
+
+    # -- estimator persistence (opt-in; see `estimator_cache`) ---------
+
+    def _estimator_cache_file(self) -> Optional[Path]:
+        """Key the estimator snapshot by voice weights + every knob
+        that shapes the speculative pipeline."""
+        try:
+            cache = jax.config.jax_compilation_cache_dir
+            if not cache:
+                return None
+            import hashlib
+
+            h = hashlib.md5()
+            try:
+                emb = np.asarray(
+                    self.params["enc_p"]["emb"]["weight"]
+                )[:2].astype(np.float32)
+                h.update(emb.tobytes())
+            except Exception:
+                pass
+            h.update(repr(self.model_cfg).encode())
+            h.update(repr((
+                tuple(self.phoneme_buckets), tuple(self.frame_buckets),
+                self.decode_grouping, self.wire_format, self.precision,
+            )).encode())
+            return (
+                Path(cache) / "estimators" / (h.hexdigest() + ".json")
+            )
+        except Exception:  # pragma: no cover - best-effort
+            return None
+
+    def _load_estimators(self) -> None:
+        path = self._estimator_cache_path
+        if path is None or not path.exists():
+            return
+        try:
+            with open(path) as f:
+                snap = json.load(f)
+            with self._ratio_lock:
+                self._ratio = (
+                    float(snap["ratio"][0]), float(snap["ratio"][1])
+                )
+                self._spec_margin = float(snap["margin"])
+                self._spec_calibrated = True
+            _LOGGER.debug("loaded serving estimators from %s", path)
+        except Exception:  # pragma: no cover - best-effort
+            _LOGGER.debug("estimator snapshot unreadable: %s", path)
+
+    def _save_estimators_locked(self) -> None:
+        """Write the snapshot (caller holds _ratio_lock). Values are
+        piecewise constant, so this runs on the rare change, not per
+        batch."""
+        path = self._estimator_cache_path
+        if path is None or self._ratio is None:
+            return
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(".tmp%d" % os.getpid())
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"ratio": list(self._ratio),
+                     "margin": self._spec_margin}, f
+                )
+            os.replace(tmp, path)
+        except Exception:  # pragma: no cover - best-effort
+            _LOGGER.debug("estimator snapshot write failed", exc_info=True)
 
     def _dispatch_speculative(
         self, encode_groups, lengths, results, noise_scale, t0, u
@@ -1023,6 +1109,7 @@ class TpuVoice:
             need = (out - spec["a0"]) / est_body
             with self._ratio_lock:
                 m = self._spec_margin
+                m_before = m
                 if refetch:
                     self._spec_margin = min(
                         max(need * 1.05, m * 1.05), 1.5
@@ -1050,6 +1137,8 @@ class TpuVoice:
                         if tight < m - 0.02:
                             self._spec_margin = max(tight, 0.25)
                         del self._spec_need_hist[:-8]
+                if self._spec_margin != m_before:
+                    self._save_estimators_locked()
         # calibrate from the true counts
         ratios = [
             float(true_frames[i]) / rows[i][6]

@@ -77,7 +77,8 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     if args.model:
         voice = TpuVoice.load(
-            args.model, args.config, precision=args.precision, **kw
+            args.model, args.config, precision=args.precision,
+            estimator_cache=True, **kw
         )
     else:
         voice = TpuVoice.random(

@@ -263,6 +263,47 @@ def test_spec_margin_adapts(fast_voice):
         fast_voice._spec_need_hist[:] = hist
 
 
+def test_estimator_persistence(tmp_path):
+    """With estimator_cache=True, calibrated estimators snapshot into
+    the compilation-cache dir and a fresh voice instance loads them —
+    its first batch takes the speculative path, with audio identical
+    to the calibrating instance's."""
+    import jax as _jax
+
+    config = VoiceConfig.from_file(REF_CONFIG)
+    model_cfg = config.model_config()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    kw = dict(
+        phonemizer=FixturePhonemizer(REF_JSONL), seed=0,
+        precision="fast", phoneme_buckets=[64, 128, 256, 512],
+        frame_buckets=[128, 256, 512, 1024, 2048],
+        estimator_cache=True,
+    )
+    recs = [json.loads(l) for l in open(REF_JSONL)][:3]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=21)
+
+    old_cache = _jax.config.jax_compilation_cache_dir
+    _jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        v1 = TpuVoice(params, model_cfg, config, **kw)
+        assert v1._ratio is None  # nothing to load yet
+        baseline = v1.synthesize_ids_batch(ids_list, syn=syn)
+        v1.synthesize_ids_batch(ids_list, syn=syn)
+        snaps = list((tmp_path / "estimators").glob("*.json"))
+        assert len(snaps) == 1
+
+        v2 = TpuVoice(params, model_cfg, config, **kw)
+        assert v2._ratio is not None
+        assert v2._spec_calibrated
+        assert v2._ratio == pytest.approx(v1._ratio)
+        out = v2.synthesize_ids_batch(ids_list, syn=syn)
+        for a, b in zip(baseline, out):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        _jax.config.update("jax_compilation_cache_dir", old_cache)
+
+
 @pytest.fixture(scope="module")
 def mulaw_voice():
     """Same graph/weights as fast_voice, mu-law packed wire."""
