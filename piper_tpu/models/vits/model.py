@@ -144,14 +144,22 @@ def synthesizer_latents(
     noise_scale: jnp.ndarray,
     rng: Optional[jax.Array] = None,
     frame_noise: Optional[jnp.ndarray] = None,
+    frame_offset=0,
     dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prior expansion + latent sampling (models.py:705-718).
 
     Returns (z_p (B, num_frames, C), y_mask (B, num_frames, 1)).
+    `frame_offset` expands the absolute frame window
+    [frame_offset, frame_offset + num_frames) — the long-form windowed
+    decode for utterances whose frame count exceeds the bucket ladder.
     """
-    m_p, y_mask = expand_by_duration(enc.m_p, enc.durations, num_frames)
-    logs_p, _ = expand_by_duration(enc.logs_p, enc.durations, num_frames)
+    m_p, y_mask = expand_by_duration(
+        enc.m_p, enc.durations, num_frames, frame_offset
+    )
+    logs_p, _ = expand_by_duration(
+        enc.logs_p, enc.durations, num_frames, frame_offset
+    )
     y_mask = y_mask.astype(dtype)
 
     if frame_noise is None:

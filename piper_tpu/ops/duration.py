@@ -22,16 +22,19 @@ import jax.numpy as jnp
 
 
 def duration_to_frame_indices(
-    durations: jnp.ndarray, num_frames: int
+    durations: jnp.ndarray, num_frames: int, offset=0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Map integer durations to per-frame phoneme indices.
 
     durations: (B, T_x) int32 — frames per phoneme (already masked so
         padded phonemes have 0 duration).
+    offset: absolute index of the first frame (static or traced int32)
+        — the long-form windowed decode expands frames
+        [offset, offset + num_frames) of the full utterance.
     Returns (indices (B, num_frames) int32, frame_valid (B, num_frames) bool).
     """
     cum = jnp.cumsum(durations.astype(jnp.int32), axis=-1)  # (B, T_x)
-    frames = jnp.arange(num_frames, dtype=jnp.int32)  # (T_y,)
+    frames = offset + jnp.arange(num_frames, dtype=jnp.int32)  # (T_y,)
     # p(t) = #{phonemes whose cumulative duration <= t}
     idx = jnp.sum(cum[:, None, :] <= frames[None, :, None], axis=-1)
     total = cum[:, -1:]
@@ -43,14 +46,16 @@ def expand_by_duration(
     values: jnp.ndarray,
     durations: jnp.ndarray,
     num_frames: int,
+    offset=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expand (B, T_x, C) phoneme-level values to (B, T_y, C) frames.
 
     Returns (expanded, frame_valid (B, T_y, 1) mask). Expanded rows for
     invalid frames are zeroed (parity with the reference's zero
-    alignment rows).
+    alignment rows). `offset` selects the absolute frame window
+    [offset, offset + num_frames) (long-form decode).
     """
-    idx, valid = duration_to_frame_indices(durations, num_frames)
+    idx, valid = duration_to_frame_indices(durations, num_frames, offset)
     expanded = jnp.take_along_axis(values, idx[..., None], axis=1)
     mask = valid[..., None]
     return expanded * mask.astype(values.dtype), mask

@@ -118,7 +118,19 @@ def synthesize_stream_chunks(
     bucket = pick_bucket(len(ids), voice.phoneme_buckets)
     ids_arr = np.zeros((1, bucket), np.int32)
     ids_arr[0, : len(ids)] = ids
-    keys = jnp.stack([voice._next_key(syn.seed)])
+    if syn.seed is not None:
+        # Same per-utterance key as the batch path (seed + content
+        # hash): the same utterance+seed yields the same durations —
+        # and in the long-form branch the same counter-mode latent
+        # noise — whether served streaming or batched.
+        import zlib
+
+        h = zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
+        keys = voice._fold_keys(
+            jax.random.PRNGKey(syn.seed), jnp.asarray([h], jnp.uint32)
+        )
+    else:
+        keys = jnp.stack([voice._next_key(None)])
     sid = None
     if voice.model_cfg.num_speakers > 1:
         sid = jnp.asarray([syn.speaker_id or 0], jnp.int32)
@@ -128,12 +140,28 @@ def synthesize_stream_chunks(
         jnp.asarray([len(ids)], np.int32), noise_w, length_scale, keys, sid,
     )
     n_frames = int(frames_dev[0])
-    fbucket = pick_bucket(n_frames, voice.frame_buckets)
-    z_p, _y_mask = synthesizer_latents(
-        voice.params, enc, fbucket, cfg=voice.model_cfg,
-        noise_scale=noise_scale,
-        rng=jax.random.fold_in(keys[0], 1),
-        dtype=voice.dtype,
-    )
+    max_fb = max(voice.frame_buckets)
+    if n_frames <= max_fb:
+        fbucket = pick_bucket(n_frames, voice.frame_buckets)
+        z_p, _y_mask = synthesizer_latents(
+            voice.params, enc, fbucket, cfg=voice.model_cfg,
+            noise_scale=noise_scale,
+            rng=jax.random.fold_in(keys[0], 1),
+            dtype=voice.dtype,
+        )
+    else:
+        # Long-form: latents are pointwise per frame, so windows of the
+        # max bucket concatenate exactly (counter-mode noise keyed by
+        # absolute frame index); the StreamingDecoder below re-chunks
+        # with its own pad context, so no halo is needed here.
+        rows_idx = jnp.asarray([0] * max(voice._data_size, 1))
+        windows = []
+        for off in range(0, n_frames, max_fb):
+            z_w, _m, _g = voice._latents_off(
+                voice.params, enc, rows_idx, noise_scale, keys, sid,
+                jnp.int32(off), int(max_fb),
+            )
+            windows.append(np.asarray(z_w[:1]))
+        z_p = np.concatenate(windows, axis=1)[:, :n_frames]
     dec = StreamingDecoder(voice, chunk_frames, pad_frames)
     yield from dec.stream(z_p, n_frames, sid)

@@ -296,6 +296,38 @@ class TpuVoice:
                 y_lengths = jnp.sum(enc.durations, axis=-1)
                 return z_p, y_mask, g, y_lengths
 
+        def latents_off_fn(params, enc, rows_idx, noise_scale, keys, sid,
+                           offset, num_frames):
+            """latents_fn for one absolute frame window
+            [offset, offset + num_frames) — the long-form path for rows
+            whose frame count exceeds the bucket ladder. Counter-mode
+            noise is keyed by ABSOLUTE frame index, so window audio is
+            identical to what an unbounded monolithic decode would
+            produce at those frames. `offset` is traced (one compile
+            per (pb, fb, rows) shape serves every window)."""
+            with jax.default_matmul_precision(mm_prec):
+                enc = jax.tree.map(lambda a: a[rows_idx], enc)
+                keys = keys[rows_idx]
+                sid = sid[rows_idx] if sid is not None else None
+
+                def row_noise(k):
+                    kf = jax.random.fold_in(k, 1)
+                    return jax.vmap(
+                        lambda i: jax.random.normal(
+                            jax.random.fold_in(kf, i),
+                            (cfg.inter_channels,), jnp.float32,
+                        )
+                    )(offset + jnp.arange(num_frames))
+
+                frame_noise = jax.vmap(row_noise)(keys).astype(dtype)
+                z_p, y_mask = M.synthesizer_latents(
+                    params, enc, num_frames, cfg=cfg,
+                    noise_scale=noise_scale, frame_noise=frame_noise,
+                    frame_offset=offset, dtype=dtype,
+                )
+                g = M.speaker_embedding(params, cfg, sid)
+                return z_p, y_mask, g
+
         def vocode_fn(params, z_p, y_mask, g):
             with jax.default_matmul_precision(mm_prec):
                 if mesh is None:
@@ -417,6 +449,17 @@ class TpuVoice:
         self._fold_keys = jax.jit(
             jax.vmap(jax.random.fold_in, in_axes=(None, 0))
         )
+        # per-row (seed, content-hash) keys in one dispatch: the
+        # cross-request batcher coalesces requests with DIFFERENT seeds
+        # into one device batch; row r's key must equal exactly what a
+        # solo submit with syn.seed=seed_r would derive
+        # (fold_in(PRNGKey(seed_r), hash_r)) so coalescing stays
+        # semantically invisible.
+        self._fold_keys_rows = jax.jit(
+            jax.vmap(
+                lambda s, h: jax.random.fold_in(jax.random.PRNGKey(s), h)
+            )
+        )
         # frames-per-id estimator for speculative decode buckets:
         # (mean, upper). None until the first exact batch calibrates.
         self._ratio: Optional[Tuple[float, float]] = None
@@ -438,6 +481,12 @@ class TpuVoice:
             self._estimator_cache_path = self._estimator_cache_file()
             self._load_estimators()
 
+        # Optional cross-request admission queue (server): when set,
+        # text-level synthesis routes its phrase batch through it so
+        # concurrent requests coalesce into shared device batches
+        # (see server/batcher.CoalescingBatcher).
+        self.batcher = None
+
         self.mesh = mesh
         # Packed single-transfer collection works whenever this process
         # can address the gathered buffer (single chip, or a
@@ -457,6 +506,11 @@ class TpuVoice:
             self._latents = jax.jit(
                 latents_fn, static_argnums=(6,),
                 in_shardings=(rep, data, None, None, data, data),
+                out_shardings=data,
+            )
+            self._latents_off = jax.jit(
+                latents_off_fn, static_argnums=(7,),
+                in_shardings=(rep, data, None, None, data, data, None),
                 out_shardings=data,
             )
             self._vocode = self._vocode_nog = jax.jit(
@@ -481,6 +535,7 @@ class TpuVoice:
             self._data_size = 1
             self._encode = jax.jit(encode_fn)
             self._latents = jax.jit(latents_fn, static_argnums=(6,))
+            self._latents_off = jax.jit(latents_off_fn, static_argnums=(7,))
             self._vocode = self._vocode_nog = jax.jit(vocode_fn)
             self._pack = jax.jit(pack_fn, static_argnums=(2,))
             self._pack2 = jax.jit(pack2_fn, static_argnums=(2, 3))
@@ -520,6 +575,68 @@ class TpuVoice:
         )
         vocode = self._vocode if g is not None else self._vocode_nog
         return vocode(params, z_p, y_mask, g), y_lengths
+
+    # -- long-form decode (frames beyond the bucket ladder) ------------
+
+    # Receptive-field halo for window stitching: flow 4xWN(4 convs,
+    # k=5) = 32 frames + generator conv halos ~13 (see
+    # parallel/vocoder_shard.py's budget); 64 gives margin for every
+    # quality preset.
+    _LONGFORM_HALO = 64
+
+    def _longform_halo(self, fb: int) -> int:
+        """Halo bounded so each window makes progress (fb > 2*halo)."""
+        return max(4, min(self._LONGFORM_HALO, (fb - 16) // 2))
+
+    def _decode_longform_parts(
+        self, enc, enc_row, frames, noise_scale, keys, sid,
+        transfer: bool = True,
+    ):
+        """Decode one row of `frames` total frames (frames > the
+        largest bucket) as overlapping windows of the max frame bucket,
+        dispatched async. Returns [(audio_dev, lo_frames, keep_frames)]
+        — window k's samples [lo*u, (lo+keep)*u) are the stitched
+        output. With halo >= the decoder's receptive field the stitched
+        waveform equals an unbounded monolithic decode (the policy
+        VERDICT r3 required: never raise mid-serving, never truncate;
+        reference handles unbounded lengths natively, voice.py:158)."""
+        fb = max(self.frame_buckets)
+        halo = self._longform_halo(fb)
+        rows_idx = jnp.asarray([enc_row] * max(self._data_size, 1))
+        parts = []
+        emitted = 0
+        while emitted < frames:
+            off = 0 if emitted == 0 else emitted - halo
+            lo = emitted - off
+            if frames - off <= fb:
+                keep = frames - emitted
+            else:
+                keep = fb - lo - halo
+            z_p, y_mask, g = self._latents_off(
+                self.params, enc, rows_idx, noise_scale, keys, sid,
+                jnp.int32(off), int(fb),
+            )
+            vocode = self._vocode if g is not None else self._vocode_nog
+            audio = vocode(self.params, z_p, y_mask, g)
+            if transfer:
+                try:
+                    audio.copy_to_host_async()
+                except AttributeError:
+                    pass
+            parts.append((audio, lo, keep))
+            emitted += keep
+        return parts
+
+    def _assemble_longform(self, parts, u: int) -> np.ndarray:
+        """Stitch long-form window parts into one float32 waveform."""
+        segs = []
+        for audio, lo, keep in parts:
+            a = np.asarray(audio)[0]
+            segs.append(a[lo * u : (lo + keep) * u])
+        seg = np.concatenate(segs)
+        if seg.dtype == np.int16:
+            return self._int16_through_wire(seg)
+        return seg.astype(np.float32)
 
     # ------------------------------------------------------------------
     # Loading
@@ -645,17 +762,43 @@ class TpuVoice:
         """
         return self.collect(self.submit(ids_list, syn=syn), stats=stats)
 
+    def set_wire_format(self, wire_format: str) -> None:
+        """Switch the packed-transfer wire format on a live voice (both
+        pack kernel families are always built; see wire_format in
+        __init__). Used by the benchmark's mu-law companion run."""
+        if wire_format not in ("int16", "mulaw"):
+            raise ValueError(f"wire_format: {wire_format!r}")
+        if wire_format == "mulaw" and self.precision == "parity":
+            raise ValueError(
+                "wire_format='mulaw' needs the int16 device path "
+                "(precision='fast'); parity mode transfers float32"
+            )
+        self.wire_format = wire_format
+
     def submit(
         self,
         ids_list: Sequence[Sequence[int]],
         *,
         syn: Optional[SynthesisConfig] = None,
+        transfer: bool = True,
+        row_seeds: Optional[Sequence[Optional[int]]] = None,
     ) -> dict:
         """Dispatch a batch; returns a handle for collect().
 
         Device work and device->host copies run asynchronously, so a
         caller can pipeline: submit(batch N+1) before collect(batch N)
         overlaps N+1's compute with N's host transfer.
+
+        `transfer=False` skips the eager device->host copy start — the
+        benchmark's device-only timing mode (block on the packed
+        buffer's computation without occupying the host link). collect()
+        still works (it fetches synchronously).
+
+        `row_seeds` gives each utterance its own seed (None entries
+        draw fresh noise), overriding syn.seed — the cross-request
+        batcher uses this to coalesce requests with different seeds
+        into one device batch; row r's audio is identical to a solo
+        seeded submit.
         """
         syn = syn or SynthesisConfig()
         inf = self.config.inference
@@ -680,7 +823,7 @@ class TpuVoice:
         # (batch-invariant serving determinism); fresh stream keys
         # otherwise.
         n_utt = max(len(ids_list), 1)
-        if syn.seed is not None:
+        if row_seeds is not None or syn.seed is not None:
             hashes = np.fromiter(
                 (
                     zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
@@ -691,9 +834,28 @@ class TpuVoice:
             )
             if len(hashes) == 0:
                 hashes = np.zeros((1,), np.uint32)
-            keys_all = self._fold_keys(
-                jax.random.PRNGKey(syn.seed), jnp.asarray(hashes)
-            )
+            if row_seeds is not None:
+                # None entries mean fresh noise: substitute a random
+                # seed (semantically equivalent to an unseeded draw).
+                # Seeds are taken mod 2^32 (PRNGKey over a traced
+                # uint32 equals PRNGKey over the same Python int).
+                seeds = np.fromiter(
+                    (
+                        (s & 0xFFFFFFFF) if s is not None
+                        else int.from_bytes(os.urandom(4), "little")
+                        for s in row_seeds
+                    ),
+                    np.uint32,
+                    count=len(row_seeds),
+                )
+                seeds = np.resize(seeds, hashes.shape)
+                keys_all = self._fold_keys_rows(
+                    jnp.asarray(seeds), jnp.asarray(hashes)
+                )
+            else:
+                keys_all = self._fold_keys(
+                    jax.random.PRNGKey(syn.seed), jnp.asarray(hashes)
+                )
         else:
             keys_all = jax.random.split(self._next_key(), n_utt)
 
@@ -737,7 +899,8 @@ class TpuVoice:
             and encode_groups
         ):
             return self._dispatch_speculative(
-                encode_groups, lengths, results, noise_scale, t0, u
+                encode_groups, lengths, results, noise_scale, t0, u,
+                transfer=transfer,
             )
 
         # Phase B: sync frame counts — one concatenated transfer for all
@@ -779,13 +942,34 @@ class TpuVoice:
         src_starts: List[int] = []
         src_base = 0
         out_pos = 0
+        max_fb = max(self.frame_buckets)
+        # (result_index, [(audio_dev, lo, keep)]) long-form rows
+        long_rows: List[Tuple[int, list]] = []
         for (indices, enc, frames_dev, keys, sid), frames in zip(
             encode_groups, frame_splits
         ):
             real_frames = frames[: len(indices)]
-            for fbucket, rows in self._plan_decode_groups(
-                real_frames.tolist()
+            normal_rows = []
+            for row in range(len(indices)):
+                f = int(real_frames[row])
+                if f > max_fb:
+                    # Frame-bucket overflow: windowed decode + stitch
+                    # (never a mid-serving ValueError).
+                    long_rows.append((
+                        indices[row],
+                        self._decode_longform_parts(
+                            enc, row, f, noise_scale, keys, sid,
+                            transfer=transfer,
+                        ),
+                    ))
+                else:
+                    normal_rows.append(row)
+            if not normal_rows:
+                continue
+            for fbucket, rows_local in self._plan_decode_groups(
+                [int(real_frames[r]) for r in normal_rows]
             ):
+                rows = [normal_rows[j] for j in rows_local]
                 pad_n = self._round_rows(len(rows)) - len(rows)
                 rows_idx = jnp.asarray(rows + rows[:1] * pad_n)
                 audio, _y_lengths = self._decode(
@@ -831,15 +1015,17 @@ class TpuVoice:
             # starting the big copy late just adds idle link time
             # (measured: lazy fetch-in-collect is ~15% slower end to
             # end).
-            try:
-                packed.copy_to_host_async()
-            except AttributeError:
-                pass
+            if transfer:
+                try:
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
 
         return {
             "decode_groups": decode_groups,
             "packed": packed,
             "pack_rows": pack_rows,
+            "long_rows": long_rows,
             "results": results,
             "t0": t0,
             "u": u,
@@ -887,12 +1073,24 @@ class TpuVoice:
 
             h = hashlib.md5()
             try:
+                # Cheap but broad weights digest: every leaf's shape
+                # plus a strided sample of the embedding — two voices
+                # with the same config must not share a snapshot.
+                for kp, leaf in sorted(
+                    jax.tree_util.tree_flatten_with_path(self.params)[0],
+                    key=lambda kv: str(kv[0]),
+                ):
+                    h.update(str(kp).encode())
+                    h.update(str(getattr(leaf, "shape", ())).encode())
                 emb = np.asarray(
                     self.params["enc_p"]["emb"]["weight"]
-                )[:2].astype(np.float32)
-                h.update(emb.tobytes())
+                ).astype(np.float32)
+                h.update(emb[:: max(1, emb.shape[0] // 8)].tobytes())
             except Exception:
-                pass
+                _LOGGER.debug(
+                    "estimator key: params digest failed; keying on "
+                    "config only", exc_info=True,
+                )
             h.update(repr(self.model_cfg).encode())
             h.update(repr((
                 tuple(self.phoneme_buckets), tuple(self.frame_buckets),
@@ -911,15 +1109,28 @@ class TpuVoice:
         try:
             with open(path) as f:
                 snap = json.load(f)
+            rm, ru = float(snap["ratio"][0]), float(snap["ratio"][1])
+            margin = float(snap["margin"])
+            # A corrupt/hand-edited snapshot (NaN margin, non-positive
+            # ratios) would brick every speculative dispatch at
+            # int(est_total * margin); validate and ignore bad values.
+            if not all(math.isfinite(v) for v in (rm, ru, margin)):
+                raise ValueError("non-finite estimator value")
+            if not (rm > 0 and ru > 0 and 0.25 <= margin <= 1.5):
+                raise ValueError("estimator value out of range")
             with self._ratio_lock:
-                self._ratio = (
-                    float(snap["ratio"][0]), float(snap["ratio"][1])
-                )
-                self._spec_margin = float(snap["margin"])
+                self._ratio = (rm, ru)
+                self._spec_margin = margin
                 self._spec_calibrated = True
             _LOGGER.debug("loaded serving estimators from %s", path)
         except Exception:  # pragma: no cover - best-effort
-            _LOGGER.debug("estimator snapshot unreadable: %s", path)
+            _LOGGER.debug(
+                "ignoring unreadable/invalid estimator snapshot: %s", path
+            )
+            try:
+                path.unlink()
+            except OSError:
+                pass
 
     def _save_estimators_locked(self) -> None:
         """Write the snapshot (caller holds _ratio_lock). Values are
@@ -941,7 +1152,8 @@ class TpuVoice:
             _LOGGER.debug("estimator snapshot write failed", exc_info=True)
 
     def _dispatch_speculative(
-        self, encode_groups, lengths, results, noise_scale, t0, u
+        self, encode_groups, lengths, results, noise_scale, t0, u,
+        transfer: bool = True,
     ) -> dict:
         """Decode at estimated frame buckets and emit one
         self-describing packed transfer (see pack2_fn). No host sync."""
@@ -1004,10 +1216,11 @@ class TpuVoice:
         packed = (self._pack2_mulaw if mulaw else self._pack2)(
             tuple(spec_audio), tuple(spec_ylens), a0, total
         )
-        try:
-            packed.copy_to_host_async()
-        except AttributeError:
-            pass
+        if transfer:
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
         return {
             "spec": {
                 "packed": packed,
@@ -1084,19 +1297,26 @@ class TpuVoice:
                 "speculative bucket overflow: re-decoding %d rows",
                 len(redecode),
             )
+        max_fb = max(self.frame_buckets)
         for i, frames in redecode:
             res_idx, cap, g_no, row_i, eg_no, enc_row, id_len = rows[i]
             indices, enc, frames_dev, keys, sid = spec["encode_groups"][eg_no]
-            fbucket = batching.pick_bucket(
-                min(frames, max(self.frame_buckets)), self.frame_buckets
-            )
+            if frames > max_fb:
+                # Beyond the bucket ladder entirely: long-form windowed
+                # decode + stitch — full-length audio, same policy as
+                # the exact path (no silent truncation).
+                parts = self._decode_longform_parts(
+                    enc, enc_row, frames, spec["noise_scale"], keys, sid
+                )
+                results[res_idx] = self._assemble_longform(parts, u)
+                continue
+            fbucket = batching.pick_bucket(frames, self.frame_buckets)
             audio, _yl = self._decode(
                 self.params, enc,
                 jnp.asarray([enc_row] * self._data_size),
                 spec["noise_scale"], keys, sid, int(fbucket),
             )
-            n = min(frames, int(fbucket)) * u
-            seg = np.asarray(audio[0, :n])
+            seg = np.asarray(audio[0, : frames * u])
             results[res_idx] = self._int16_through_wire(seg)
         # calibrate the transfer-size margin from the realized body
         # size (`out` ends at a0 + sum(valid) = what a perfectly sized
@@ -1111,6 +1331,15 @@ class TpuVoice:
                 m = self._spec_margin
                 m_before = m
                 if refetch:
+                    if need * 1.05 > 1.5:
+                        # Margin cap binding: persistent per-row
+                        # re-fetches with no other symptom — make the
+                        # latency regression diagnosable.
+                        _LOGGER.info(
+                            "speculative transfer margin cap (1.5) "
+                            "binding: realized need %.2fx estimate; "
+                            "%d rows re-fetched", need, len(refetch),
+                        )
                     self._spec_margin = min(
                         max(need * 1.05, m * 1.05), 1.5
                     )
@@ -1156,6 +1385,8 @@ class TpuVoice:
         u = handle["u"]
         if handle.get("spec") is not None:
             self._collect_speculative(handle["spec"], results, u)
+        for res_idx, parts in handle.get("long_rows") or []:
+            results[res_idx] = self._assemble_longform(parts, u)
         if handle.get("packed") is not None:
             flat = np.asarray(handle["packed"])
             if flat.dtype in (np.int16, np.uint8):
@@ -1252,7 +1483,12 @@ class TpuVoice:
                     phrase_ids.append(self.phonemes_to_ids(chunk))
                     phrase_meta.append((s_idx, sil if last else 0))
 
-        audios = self.synthesize_ids_batch(phrase_ids, syn=syn, stats=stats)
+        batch_fn = (
+            self.batcher.synthesize_ids_batch
+            if self.batcher is not None
+            else self.synthesize_ids_batch
+        )
+        audios = batch_fn(phrase_ids, syn=syn, stats=stats)
 
         # Reassemble per sentence, appending phrase/sentence silence.
         n_sentences = len(sentence_phonemes)
