@@ -2,18 +2,33 @@
 """Benchmark: audio-seconds/s/chip for batched VITS synthesis.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "device_only": N, "link_MBps": N, "mulaw": N}
 
 Baseline target (BASELINE.md): >=50x realtime audio-seconds/s/chip,
 medium-quality voice, batch 32, on one TPU v5e chip. vs_baseline is
 value / 50.
 
-Methodology mirrors the reference harness semantics
+The headline `value` is end-to-end on the lossless int16 wire —
+including host orchestration and the device->host audio transfer —
+mirroring the reference harness semantics
 (src/benchmark/benchmark_onnx.py): pre-tokenized phoneme ids in,
-waveform out, wall-clock end-to-end on device including host
-orchestration; warmup excluded. Sentences come from the reference's
-en-us fixture set; the voice is random-weight medium quality (the
-graph/compute is identical to a trained voice).
+waveform out, warmup excluded. In this environment the chip is reached
+over a tunnel whose 10-50 MB/s device->host link is the bottleneck, so
+the headline tracks link weather, not the chip. The companion fields
+decompose it:
+  device_only — same pipelined batches, blocking on device completion
+      with the host transfer disabled: chip throughput, the number
+      that holds on a directly-attached (PCIe) host.
+  link_MBps   — momentary device->host link rate, for normalizing the
+      end-to-end number across rounds.
+  mulaw       — end-to-end on the 1-byte/sample G.711 wire (halves
+      link bytes per audio-second; lossy, serving option).
+
+`--train` instead benchmarks the full GAN training step (generator +
+MPD discriminators + on-device MAS), medium config, batch 16, bf16,
+steps dispatched back-to-back; prints one JSON line with
+steps/s and utterances/s/chip (reference perf datum: TRAINING.md:183).
 """
 
 import argparse
@@ -24,25 +39,7 @@ import time
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quality", default="medium")
-    ap.add_argument("--vocoder", default="hifigan",
-                    choices=["hifigan", "mb_istft"])
-    ap.add_argument("--variant", default="vits", choices=["vits", "vits2"])
-    ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--precision", default="fast", choices=["fast", "parity"])
-    ap.add_argument(
-        "--wire", default="int16", choices=["int16", "mulaw"],
-        help="packed-transfer wire format: int16 (lossless PCM, the "
-        "headline) or mulaw (G.711, 1 byte/sample — halves link bytes "
-        "per audio-second on bandwidth-bound hosts; lossy, reported as "
-        "a secondary number)",
-    )
-    ap.add_argument("--json-only", action="store_true")
-    args = ap.parse_args()
-
+def _setup_cache():
     import os
     from pathlib import Path
 
@@ -56,6 +53,120 @@ def main():
     )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _link_probe(jax):
+    """Momentary device->host link rate (MB/s): 8 MB int16 fetch."""
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x, s: (x + s).astype(jnp.int16))(
+        jnp.zeros((4 << 20,), jnp.int16), 1
+    )
+    probe.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(probe)
+    return 8.0 / (time.perf_counter() - t0)
+
+
+def bench_train(args):
+    """Training throughput: fixed medium config, batch 16, bf16."""
+    jax = _setup_cache()
+    import jax.numpy as jnp
+
+    from piper_tpu.config import ModelConfig
+    from piper_tpu.train.step import init_train_state, train_step
+
+    cfg = ModelConfig.for_quality("medium", num_symbols=256)
+    b, t_x, t_y = args.batch or 16, 256, 768
+    a = cfg.audio
+    rng = np.random.default_rng(0)
+    batch = {
+        "ids": jnp.asarray(
+            rng.integers(0, cfg.num_symbols, (b, t_x)), jnp.int32
+        ),
+        "id_lengths": jnp.full((b,), t_x, jnp.int32),
+        "spec": jnp.asarray(
+            np.abs(rng.standard_normal((b, t_y, cfg.spec_channels))),
+            jnp.float32,
+        ),
+        "spec_lengths": jnp.full((b,), t_y, jnp.int32),
+        "audio": jnp.asarray(
+            rng.standard_normal((b, t_y * a.hop_length)) * 0.1, jnp.float32
+        ),
+    }
+    state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(
+        lambda s, bt, k: train_step(
+            s, bt, k, cfg=cfg, tx=tx, dtype=jnp.bfloat16
+        )
+    )
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["loss_gen_all"])
+    compile_s = time.perf_counter() - t0
+    # settle
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics["loss_gen_all"])
+    reps = args.reps * 8
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss_gen_all"])
+    step_s = (time.perf_counter() - t0) / reps
+    n_chips = max(jax.device_count(), 1)
+    utt_s = b / step_s / n_chips
+    detail = {
+        "mode": "train",
+        "quality": "medium",
+        "batch": b,
+        "phoneme_len": t_x,
+        "frame_len": t_y,
+        "dtype": "bfloat16",
+        "steps_per_s": round(1.0 / step_s, 2),
+        "step_s": round(step_s, 5),
+        "compile_plus_first_step_s": round(compile_s, 2),
+        "devices": n_chips,
+        "loss_gen_all": round(float(metrics["loss_gen_all"]), 3),
+    }
+    if not args.json_only:
+        print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps({
+        "metric": "train-utterances/s/chip",
+        "value": round(utt_s, 1),
+        "unit": "utt/s/chip",
+        "steps_per_s": round(1.0 / step_s, 2),
+        "vs_baseline": None,
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quality", default="medium")
+    ap.add_argument("--vocoder", default="hifigan",
+                    choices=["hifigan", "mb_istft"])
+    ap.add_argument("--variant", default="vits", choices=["vits", "vits2"])
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--precision", default="fast", choices=["fast", "parity"])
+    ap.add_argument(
+        "--train", action="store_true",
+        help="benchmark the GAN training step instead of serving",
+    )
+    ap.add_argument(
+        "--no-mulaw", action="store_true",
+        help="skip the mu-law companion measurement",
+    )
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.train:
+        bench_train(args)
+        return
+    batch = args.batch or 32
+
+    jax = _setup_cache()
 
     from piper_tpu.runtime.voice import TpuVoice
     from piper_tpu.config import SynthesisConfig
@@ -66,13 +177,10 @@ def main():
         for line in f:
             rec = json.loads(line)
             ids_list.append(rec["phoneme_ids"])
-    while len(ids_list) < args.batch:
+    while len(ids_list) < batch:
         ids_list = ids_list + ids_list
-    ids_list = ids_list[: args.batch]
+    ids_list = ids_list[:batch]
 
-    # Finer frame buckets cut padded-tail device->host bytes (the
-    # bottleneck on tunneled chips) at the cost of more one-time
-    # compilations (persistently cached).
     # One phoneme bucket (encoder padding is cheap; one encode dispatch
     # and one duration sync per batch); fine frame buckets minimize
     # padded device->host audio bytes — the bottleneck on tunneled
@@ -86,7 +194,6 @@ def main():
         phoneme_buckets=[512],
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
         decode_grouping="uniform",
-        wire_format=args.wire,
         estimator_cache=True,
     )
     sr = voice.config.sample_rate
@@ -96,7 +203,7 @@ def main():
     # compile concurrently and persist in the compilation cache, so a
     # later process's cold start is seconds (docs/BENCH_NOTES.md).
     t0 = time.perf_counter()
-    voice.warmup((args.batch,), full=True)
+    voice.warmup((batch,), full=True)
     out = voice.synthesize_ids_batch(ids_list, syn=syn)
     load_sec = time.perf_counter() - t0
 
@@ -117,60 +224,88 @@ def main():
         times.append(time.perf_counter() - t0)
     seq_sec = float(np.median(times))
 
-    # Pipelined (throughput) timing: keep 3 batches in flight so the
-    # next batches' device work and transfers overlap the current
-    # collect (measured ~2-3% over double buffering — the third slot
-    # hides the submit/collect host gaps, deeper adds nothing).
+    def timed_pipelined(n_batches, depth=3, **submit_kw):
+        """Throughput timing with `depth` batches in flight (the third
+        slot hides the submit/collect host gaps; deeper adds nothing).
+        transfer=False blocks on device completion instead of
+        collecting — the device-only decomposition."""
+        transfer = submit_kw.get("transfer", True)
+
+        def finish(handle):
+            if transfer:
+                voice.collect(handle)
+            else:
+                spec = handle.get("spec")
+                buf = spec["packed"] if spec else handle["packed"]
+                jax.block_until_ready(buf)
+
+        t0 = time.perf_counter()
+        inflight = [
+            voice.submit(ids_list, syn=syn, **submit_kw)
+            for _ in range(depth)
+        ]
+        done = 0
+        while done < n_batches:
+            handle = inflight.pop(0)
+            if done + len(inflight) + 1 < n_batches:
+                inflight.append(voice.submit(ids_list, syn=syn, **submit_kw))
+            finish(handle)
+            done += 1
+        return (time.perf_counter() - t0) / n_batches
+
     n_pipe = max(args.reps * 2, 8)
-    depth = 3
-    t0 = time.perf_counter()
-    inflight = [voice.submit(ids_list, syn=syn) for _ in range(depth)]
-    done = 0
-    while done < n_pipe:
-        handle = inflight.pop(0)
-        if done + len(inflight) + 1 < n_pipe:
-            inflight.append(voice.submit(ids_list, syn=syn))
-        voice.collect(handle)
-        done += 1
-    infer_sec = (time.perf_counter() - t0) / n_pipe
+    infer_sec = timed_pipelined(n_pipe)
 
-    # Host-link diagnostic: the tunneled d2h link (10-50 MB/s,
-    # fluctuating) is the serving bottleneck in this environment —
-    # compute is fully hidden behind the transfer. Report the momentary
-    # link rate so throughput numbers can be normalized.
-    import jax.numpy as jnp
+    # Device-only: same pipeline, host transfer disabled; blocks on the
+    # packed buffer's device computation. Chip throughput with the
+    # tunnel's link weather taken out of the measurement.
+    device_sec = timed_pipelined(n_pipe, transfer=False)
 
-    probe = jax.jit(lambda x, s: (x + s).astype(jnp.int16))(
-        jnp.zeros((4 << 20,), jnp.int16), 1
-    )
-    probe.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(probe)
-    link_mbps = 8.0 / (time.perf_counter() - t0)
+    link_mbps = _link_probe(jax)
+
+    # mu-law companion: 1-byte/sample wire (same voice — both pack
+    # kernel families are built; only the small pack jits recompile).
+    mulaw_value = None
+    if not args.no_mulaw and args.precision != "parity":
+        voice.set_wire_format("mulaw")
+        for _ in range(2):
+            voice.synthesize_ids_batch(ids_list, syn=syn)
+        mulaw_sec = timed_pipelined(n_pipe)
+        link_mbps_mulaw = _link_probe(jax)
+        voice.set_wire_format("int16")
+        n_chips_ = max(jax.device_count(), 1)
+        mulaw_value = round(audio_seconds / mulaw_sec / n_chips_, 2)
 
     n_chips = max(jax.device_count(), 1)
     value = audio_seconds / infer_sec / n_chips
+    device_only = round(audio_seconds / device_sec / n_chips, 2)
     result = {
         "metric": "audio-seconds/s/chip",
         "value": round(value, 2),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(value / 50.0, 3),
+        "device_only": device_only,
+        "link_MBps": round(link_mbps, 1),
+        "mulaw": mulaw_value,
     }
     if not args.json_only:
         detail = {
             "quality": args.quality,
             "vocoder": args.vocoder,
-            "batch": args.batch,
+            "batch": batch,
             "precision": args.precision,
-            "wire": args.wire,
             "sample_rate": sr,
             "audio_seconds_per_batch": round(audio_seconds, 2),
             "batch_wall_s_pipelined": round(infer_sec, 4),
+            "batch_wall_s_device_only": round(device_sec, 4),
             "compile_plus_first_batch_s": round(load_sec, 2),
             "rtf": round(infer_sec / audio_seconds, 6),
             "p50_latency_per_batch_s": round(seq_sec, 4),
             "devices": n_chips,
             "link_MBps": round(link_mbps, 1),
+            "link_MBps_at_mulaw_run": (
+                round(link_mbps_mulaw, 1) if mulaw_value else None
+            ),
             "sequential_times": [round(t, 4) for t in times],
         }
         print(json.dumps(detail), file=sys.stderr)
