@@ -319,10 +319,12 @@ def generator_tm_apply(
     x = x * mask
     for i in range(start):
         # wide early stages: XLA NWC (channel dim fills the lanes; the
-        # fused kernel's packed weights would not fit VMEM here)
+        # fused kernel's packed weights would not fit VMEM here). The
+        # transposed conv runs polyphase — dense MXU matmuls, no
+        # zero-stuffed dilation work (~2x on the wide stage-0 tconv).
         u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
         x = tnn.leaky_relu(x, LRELU_SLOPE)
-        x = tnn.conv1d_transpose(
+        x = tnn.conv1d_transpose_poly(
             x, p["ups"][i]["w"].astype(x.dtype), p["ups"][i]["b"],
             stride=u, padding=(k - u) // 2,
         )

@@ -91,6 +91,70 @@ def conv1d_transpose(
     )
 
 
+def conv1d_transpose_poly(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    stride: int,
+    padding: int,
+) -> jnp.ndarray:
+    """conv1d_transpose as a polyphase sum of dense matmuls.
+
+    The input-dilated formulation zero-stuffs the input by `stride`,
+    so the MXU does stride-times redundant work on zeros. Polyphase
+    decomposition instead computes output phase p of output frame s as
+      y[s*u + p] = sum_j x[s - j] @ W_t[j*u + p + padding]
+    — ceil(k/u)+1 dense (B·T, C_in) x (C_in, u·C_out) matmuls with no
+    zeros (the wide early HiFiGAN stages where the Pallas packed
+    weights don't fit VMEM; docs/ROADMAP.md #6). Numerically equal to
+    conv1d_transpose up to float reassociation; requires the standard
+    generator geometry t_out = t*u (i.e. k = 2*padding + u).
+
+    `kernel` uses the same pre-flipped (k, in, out) layout as
+    conv1d_transpose (W_t[w] = kernel[k-1-w]).
+    """
+    u = stride
+    k, cin, cout = kernel.shape
+    if (k - u) != 2 * padding:
+        # Geometry without the t_out = t*u property: fall back.
+        return conv1d_transpose(
+            x, kernel, bias, stride=stride, padding=padding
+        )
+    b, t, _ = x.shape
+    j_lo = -((padding + u - 1) // u)
+    j_hi = (k - 1 - padding) // u
+    y = None
+    for j in range(j_lo, j_hi + 1):
+        cols = []
+        any_valid = False
+        for p in range(u):
+            w = j * u + p + padding
+            if 0 <= w < k:
+                cols.append(kernel[k - 1 - w])
+                any_valid = True
+            else:
+                cols.append(jnp.zeros((cin, cout), kernel.dtype))
+        if not any_valid:
+            continue
+        w_j = jnp.stack(cols, axis=1)  # (cin, u, cout)
+        if j == 0:
+            xs = x
+        elif j > 0:
+            xs = jnp.pad(x, ((0, 0), (j, 0), (0, 0)))[:, :t]
+        else:
+            xs = jnp.pad(x, ((0, 0), (0, -j), (0, 0)))[:, -j:]
+        contrib = jnp.einsum(
+            "btc,cuo->btuo", xs, w_j.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        y = contrib if y is None else y + contrib
+    y = y.reshape(b, t * u, cout)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def _dilate(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Insert factor-1 zeros between time steps (lhs dilation)."""
     if factor == 1:

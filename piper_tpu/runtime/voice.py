@@ -353,23 +353,43 @@ class TpuVoice:
                     audio = audio.astype(jnp.float32)
                 return audio
 
+        def _rows_to_buffer(audio_list, out_starts, length, offset=0):
+            """Write each group's rows into a flat buffer at
+            out_starts - offset via one lax.scan of contiguous
+            dynamic_update_slice copies per group. Rows arrive in
+            increasing out_start order, so each row's padded tail is
+            overwritten by the next row's copy; rows clamped at
+            `length` land in the trailing pad region (junk the host
+            never reads). Sequential DMA at HBM bandwidth — replaces a
+            per-sample searchsorted gather that cost ~10 ms/batch at
+            bench sizes."""
+            pad = max(a.shape[1] for a in audio_list)
+            dtype = audio_list[0].dtype
+            buf = jnp.zeros((length + pad,), dtype)
+            idx = 0
+            for a in audio_list:
+                rows_g = a.shape[0]
+                st = jnp.clip(out_starts[idx : idx + rows_g] - offset,
+                              0, length)
+
+                def body(carry, xs):
+                    row, s = xs
+                    return (
+                        jax.lax.dynamic_update_slice(carry, row, (s,)),
+                        None,
+                    )
+
+                buf, _ = jax.lax.scan(body, buf, (a.astype(dtype), st))
+                idx += rows_g
+            return buf[:length]
+
         def pack_fn(audio_list, starts, total):
             """Compact every decode group's valid samples into one flat
             buffer (device-side) so the batch pays a single device->host
             transfer with no padding bytes. starts: (2, R) int32 — row r
-            of the concatenated groups has its valid samples at flat
-            position src[r].. and lands at out[r].. in the output."""
-            flat = jnp.concatenate([a.reshape(-1) for a in audio_list])
-            src_starts, out_starts = starts[0], starts[1]
-            k = jax.lax.iota(jnp.int32, total)
-            row = (
-                jnp.searchsorted(
-                    out_starts, k, side="right", method="compare_all"
-                ).astype(jnp.int32)
-                - 1
-            )
-            idx = src_starts[row] + (k - out_starts[row])
-            return flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+            of the concatenated groups lands at out[r].. in the output
+            (srcs in starts[0] are implied by group/row order)."""
+            return _rows_to_buffer(audio_list, starts[1], total)
 
         u_factor = model_cfg.upsample_factor
 
@@ -379,29 +399,15 @@ class TpuVoice:
             Returns (ylens, int16 body of total-a0 samples laid out at
             offsets a0 + cumsum(valid))."""
             ylens = jnp.concatenate(ylen_list).astype(jnp.int32)  # (R,)
-            caps, srcs, base = [], [], 0
-            for a in audio_list:
-                rows_g, samp_g = a.shape
-                caps.append(jnp.full((rows_g,), samp_g, jnp.int32))
-                srcs.append(base + jnp.arange(rows_g, dtype=jnp.int32) * samp_g)
-                base += rows_g * samp_g
-            caps = jnp.concatenate(caps)
-            src_starts = jnp.concatenate(srcs)
+            caps = jnp.concatenate([
+                jnp.full((a.shape[0],), a.shape[1], jnp.int32)
+                for a in audio_list
+            ])
             valid = jnp.minimum(ylens * u_factor, caps)
             out_starts = a0 + jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(valid)[:-1]]
             )
-            flat = jnp.concatenate([a.reshape(-1) for a in audio_list])
-            k = jax.lax.iota(jnp.int32, total - a0) + a0
-            row = (
-                jnp.searchsorted(
-                    out_starts, k, side="right", method="compare_all"
-                ).astype(jnp.int32)
-                - 1
-            )
-            row = jnp.clip(row, 0, src_starts.shape[0] - 1)
-            idx = src_starts[row] + (k - out_starts[row])
-            body = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+            body = _rows_to_buffer(audio_list, out_starts, total - a0, a0)
             return ylens, body
 
         def pack2_fn(audio_list, ylen_list, a0, total):
@@ -983,8 +989,11 @@ class TpuVoice:
                         pack_rows.append((indices[row], out_pos, n))
                         src_starts.append(src_base + row_i * row_samples)
                         out_pos += n
-                    src_base += audio.shape[0] * row_samples
-                    pack_audio.append(audio)
+                    src_base += len(rows) * row_samples
+                    # real rows only: pack's scan pairs each row with
+                    # its out_start (mesh padding rows are dropped,
+                    # same as the speculative path)
+                    pack_audio.append(audio[: len(rows)])
                 else:
                     try:
                         audio.copy_to_host_async()

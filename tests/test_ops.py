@@ -71,6 +71,34 @@ def test_conv1d_transpose_matches_torch(k, stride):
     np.testing.assert_allclose(_np(out), ref, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("k,stride", [(16, 8), (8, 4), (4, 2), (11, 3), (5, 2)])
+def test_conv1d_transpose_poly_matches_dilated(k, stride):
+    """The polyphase MXU formulation (generator fast path) equals the
+    input-dilated formulation; geometries without t_out = t*u fall
+    back to the dilated path."""
+    rng = np.random.default_rng(4)
+    b, t, cin, cout = 2, 23, 6, 4
+    pad = (k - stride) // 2
+    x = rng.standard_normal((b, t, cin)).astype(np.float32)
+    w = rng.standard_normal((k, cin, cout)).astype(np.float32) * 0.2
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    ref = tnn.conv1d_transpose(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+        stride=stride, padding=pad,
+    )
+    out = tnn.conv1d_transpose_poly(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+        stride=stride, padding=pad,
+    )
+    if (k - stride) == 2 * pad:
+        assert out.shape == (b, t * stride, cout)
+        np.testing.assert_allclose(
+            _np(out), _np(ref)[:, : t * stride], atol=2e-5, rtol=1e-5
+        )
+    else:
+        np.testing.assert_allclose(_np(out), _np(ref), atol=2e-5, rtol=1e-5)
+
+
 def test_layer_norm_matches_torch():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((3, 17, 24)).astype(np.float32)
