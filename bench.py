@@ -237,6 +237,16 @@ def main():
             else:
                 spec = handle.get("spec")
                 buf = spec["packed"] if spec else handle["packed"]
+                if buf is None:
+                    # No packed buffer (multi-process mesh or all-long-
+                    # form batch): a device-only number would be
+                    # meaningless — fail loudly rather than time host
+                    # dispatch and report inflated chip throughput.
+                    raise RuntimeError(
+                        "device-only timing needs the packed serving "
+                        "path; run with --no-device-only semantics "
+                        "(single-process voice)"
+                    )
                 jax.block_until_ready(buf)
 
         t0 = time.perf_counter()

@@ -119,16 +119,11 @@ def synthesize_stream_chunks(
     ids_arr = np.zeros((1, bucket), np.int32)
     ids_arr[0, : len(ids)] = ids
     if syn.seed is not None:
-        # Same per-utterance key as the batch path (seed + content
-        # hash): the same utterance+seed yields the same durations —
+        # Same per-utterance key derivation as the batch path (shared
+        # helper): the same utterance+seed yields the same durations —
         # and in the long-form branch the same counter-mode latent
         # noise — whether served streaming or batched.
-        import zlib
-
-        h = zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
-        keys = voice._fold_keys(
-            jax.random.PRNGKey(syn.seed), jnp.asarray([h], jnp.uint32)
-        )
+        keys = voice._utt_keys([ids], syn.seed)
     else:
         keys = jnp.stack([voice._next_key(None)])
     sid = None

@@ -383,13 +383,13 @@ class TpuVoice:
                 idx += rows_g
             return buf[:length]
 
-        def pack_fn(audio_list, starts, total):
+        def pack_fn(audio_list, out_starts, total):
             """Compact every decode group's valid samples into one flat
             buffer (device-side) so the batch pays a single device->host
-            transfer with no padding bytes. starts: (2, R) int32 — row r
-            of the concatenated groups lands at out[r].. in the output
-            (srcs in starts[0] are implied by group/row order)."""
-            return _rows_to_buffer(audio_list, starts[1], total)
+            transfer with no padding bytes. out_starts: (R,) int32 —
+            row r of the concatenated groups lands at out[r].. in the
+            output (source rows are implied by group/row order)."""
+            return _rows_to_buffer(audio_list, out_starts, total)
 
         u_factor = model_cfg.upsample_factor
 
@@ -591,8 +591,11 @@ class TpuVoice:
     _LONGFORM_HALO = 64
 
     def _longform_halo(self, fb: int) -> int:
-        """Halo bounded so each window makes progress (fb > 2*halo)."""
-        return max(4, min(self._LONGFORM_HALO, (fb - 16) // 2))
+        """Halo bounded so each window keeps >= min(fb, 16) frames of
+        progress (fb - 2*halo >= 16 whenever fb >= 16; halo 0 for
+        degenerate tiny ladders — seam quality degrades there but the
+        loop always advances)."""
+        return max(0, min(self._LONGFORM_HALO, (fb - 16) // 2))
 
     def _decode_longform_parts(
         self, enc, enc_row, frames, noise_scale, keys, sid,
@@ -749,10 +752,35 @@ class TpuVoice:
 
     def _next_key(self, seed: Optional[int] = None):
         if seed is not None:
-            return jax.random.PRNGKey(seed)
+            return jax.random.PRNGKey(seed & 0xFFFFFFFF)
         with self._key_lock:
             self._key, sub = jax.random.split(self._key)
         return sub
+
+    @staticmethod
+    def _content_hashes(ids_list) -> np.ndarray:
+        """Per-utterance content hash for seeded noise keys."""
+        hashes = np.fromiter(
+            (
+                zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
+                for ids in ids_list
+            ),
+            np.uint32,
+            count=len(ids_list),
+        )
+        return hashes if len(hashes) else np.zeros((1,), np.uint32)
+
+    def _utt_keys(self, ids_list, seed: int):
+        """The per-utterance (seed, content-hash) noise keys — ONE
+        derivation shared by batch submit and streaming so the same
+        utterance+seed yields the same audio on either path. Seeds are
+        taken mod 2^32 everywhere (batcher row seeds, solo submits,
+        streaming), so coalescing stays composition-invariant for any
+        Python int seed."""
+        return self._fold_keys(
+            jax.random.PRNGKey(seed & 0xFFFFFFFF),
+            jnp.asarray(self._content_hashes(ids_list)),
+        )
 
     def synthesize_ids_batch(
         self,
@@ -829,39 +857,27 @@ class TpuVoice:
         # (batch-invariant serving determinism); fresh stream keys
         # otherwise.
         n_utt = max(len(ids_list), 1)
-        if row_seeds is not None or syn.seed is not None:
-            hashes = np.fromiter(
+        if row_seeds is not None:
+            # None entries mean fresh noise: substitute a random seed
+            # (semantically equivalent to an unseeded draw). Seeds are
+            # taken mod 2^32 everywhere (see _utt_keys), so a row's
+            # key equals a solo seeded submit's.
+            hashes = self._content_hashes(ids_list)
+            seeds = np.fromiter(
                 (
-                    zlib.crc32(np.asarray(ids, np.int32).tobytes()) & 0x7FFFFFFF
-                    for ids in ids_list
+                    (s & 0xFFFFFFFF) if s is not None
+                    else int.from_bytes(os.urandom(4), "little")
+                    for s in row_seeds
                 ),
                 np.uint32,
-                count=len(ids_list),
+                count=len(row_seeds),
             )
-            if len(hashes) == 0:
-                hashes = np.zeros((1,), np.uint32)
-            if row_seeds is not None:
-                # None entries mean fresh noise: substitute a random
-                # seed (semantically equivalent to an unseeded draw).
-                # Seeds are taken mod 2^32 (PRNGKey over a traced
-                # uint32 equals PRNGKey over the same Python int).
-                seeds = np.fromiter(
-                    (
-                        (s & 0xFFFFFFFF) if s is not None
-                        else int.from_bytes(os.urandom(4), "little")
-                        for s in row_seeds
-                    ),
-                    np.uint32,
-                    count=len(row_seeds),
-                )
-                seeds = np.resize(seeds, hashes.shape)
-                keys_all = self._fold_keys_rows(
-                    jnp.asarray(seeds), jnp.asarray(hashes)
-                )
-            else:
-                keys_all = self._fold_keys(
-                    jax.random.PRNGKey(syn.seed), jnp.asarray(hashes)
-                )
+            seeds = np.resize(seeds, hashes.shape)
+            keys_all = self._fold_keys_rows(
+                jnp.asarray(seeds), jnp.asarray(hashes)
+            )
+        elif syn.seed is not None:
+            keys_all = self._utt_keys(ids_list, syn.seed)
         else:
             keys_all = jax.random.split(self._next_key(), n_utt)
 
@@ -945,8 +961,6 @@ class TpuVoice:
         pack_audio: List[Any] = []
         # (result_index, out_start, n_samples) per packed row
         pack_rows: List[Tuple[int, int, int]] = []
-        src_starts: List[int] = []
-        src_base = 0
         out_pos = 0
         max_fb = max(self.frame_buckets)
         # (result_index, [(audio_dev, lo, keep)]) long-form rows
@@ -983,40 +997,33 @@ class TpuVoice:
                     keys, sid, int(fbucket),
                 )
                 if self._use_pack:
-                    row_samples = int(fbucket) * u
-                    for row_i, row in enumerate(rows):
+                    for row in rows:
                         n = int(real_frames[row]) * u
                         pack_rows.append((indices[row], out_pos, n))
-                        src_starts.append(src_base + row_i * row_samples)
                         out_pos += n
-                    src_base += len(rows) * row_samples
                     # real rows only: pack's scan pairs each row with
                     # its out_start (mesh padding rows are dropped,
                     # same as the speculative path)
                     pack_audio.append(audio[: len(rows)])
                 else:
-                    try:
-                        audio.copy_to_host_async()
-                    except AttributeError:  # non-jax array in tests
-                        pass
+                    if transfer:
+                        try:
+                            audio.copy_to_host_async()
+                        except AttributeError:  # non-jax array in tests
+                            pass
                     decode_groups.append((indices, rows, frames, audio))
 
         packed = None
         if pack_audio:
             total = -(-out_pos // self._PACK_QUANTUM) * self._PACK_QUANTUM
-            starts = jnp.asarray(
-                np.stack(
-                    [
-                        np.asarray(src_starts, np.int32),
-                        np.asarray([r[1] for r in pack_rows], np.int32),
-                    ]
-                )
+            out_starts = jnp.asarray(
+                np.asarray([r[1] for r in pack_rows], np.int32)
             )
             packed = (
                 self._pack_mulaw
                 if self.wire_format == "mulaw"
                 else self._pack
-            )(tuple(pack_audio), starts, total)
+            )(tuple(pack_audio), out_starts, total)
             # Start the device->host copy as early as possible (right
             # after pack computes). The host link is FIFO, so the next
             # batch's tiny frame-count sync queues behind this copy —
@@ -1649,7 +1656,7 @@ class TpuVoice:
             # further (args-shape, total) combos compile in ~0.5 s).
             r = audio0.shape[0]
             total = self._PACK_QUANTUM
-            starts = jnp.zeros((2, r), jnp.int32)
+            starts = jnp.zeros((r,), jnp.int32)
             mulaw = self.wire_format == "mulaw"
             jax.block_until_ready(
                 (self._pack_mulaw if mulaw else self._pack)(

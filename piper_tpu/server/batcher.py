@@ -74,6 +74,10 @@ class CoalescingBatcher:
         self._q: "queue.Queue" = queue.Queue(max_queue)
         self._handles: "queue.Queue" = queue.Queue()
         self._closed = False
+        # Guards the closed-flag/sentinel pair: no request may enqueue
+        # after the shutdown sentinel (it would strand its thread in
+        # event.wait() forever).
+        self._close_lock = threading.Lock()
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, daemon=True,
             name="piper-tpu-batch-dispatch",
@@ -98,14 +102,23 @@ class CoalescingBatcher:
         calling (request) thread until its waveforms are ready."""
         import time
 
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         if not ids_list:
             return []
         syn = syn or SynthesisConfig()
         t0 = time.perf_counter()
         p = _Pending(list(ids_list), syn, _syn_key(self.voice, syn))
-        self._q.put(p)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            try:
+                # non-blocking: a blocking put would hold the close
+                # lock and deadlock close(); at max_queue depth the
+                # server is overloaded and should shed load anyway
+                self._q.put_nowait(p)
+            except queue.Full:
+                raise RuntimeError(
+                    "batcher admission queue full (overloaded)"
+                ) from None
         p.event.wait()
         if p.error is not None:
             raise p.error
@@ -117,10 +130,13 @@ class CoalescingBatcher:
         return p.results
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
-        self._handles.put(None)
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._dispatcher.join(timeout=5)
+        self._handles.put(None)
         self._collector.join(timeout=5)
 
     # -- worker side ---------------------------------------------------
@@ -128,8 +144,10 @@ class CoalescingBatcher:
     def _dispatch_loop(self) -> None:
         import time
 
+        carry = None
         while True:
-            first = self._q.get()
+            first = carry if carry is not None else self._q.get()
+            carry = None
             if first is None:
                 return
             group = [first]
@@ -146,6 +164,12 @@ class CoalescingBatcher:
                 if p is None:
                     self._flush(group)
                     return
+                if n + len(p.ids_list) > self.max_batch and n > 0:
+                    # Would exceed the warmed-shape cap: this request
+                    # seeds the NEXT window instead (never compile a
+                    # never-warmed oversize batch mid-serving).
+                    carry = p
+                    break
                 group.append(p)
                 n += len(p.ids_list)
             self._flush(group)

@@ -126,6 +126,107 @@ def test_mixed_syn_keys_are_isolated(tiny_voice):
         batcher.close()
 
 
+def test_large_and_negative_seeds_match_solo(tiny_voice):
+    """Seeds are normalized mod 2^32 everywhere (solo, streaming,
+    batcher row seeds), so coalescing stays invisible for any Python
+    int seed — including > 2^32 and negative (code-review finding)."""
+    voice = tiny_voice
+    req = _request_sets(voice.model_cfg, n=2)
+    seeds = [(1 << 40) + 123, -7]
+    solo = [
+        voice.synthesize_ids_batch(ids, syn=SynthesisConfig(seed=s))
+        for ids, s in zip(req, seeds)
+    ]
+    batcher = CoalescingBatcher(voice, window_ms=100.0, max_batch=32)
+    try:
+        results = [None] * 2
+
+        def worker(i):
+            results[i] = batcher.synthesize_ids_batch(
+                req[i], syn=SynthesisConfig(seed=seeds[i])
+            )
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for got, want in zip(results, solo):
+            assert got is not None
+            np.testing.assert_allclose(got[0], want[0], atol=1e-5, rtol=0)
+    finally:
+        batcher.close()
+
+
+def test_batch_cap_is_respected(tiny_voice):
+    """A multi-utterance request that would push a window past
+    max_batch seeds the next window instead of compiling a
+    never-warmed oversize batch (code-review finding)."""
+    voice = tiny_voice
+    rng = np.random.default_rng(3)
+    reqs = [
+        [rng.integers(3, 60, 8).tolist() for _ in range(6)]
+        for _ in range(4)
+    ]
+    submits = []
+    orig_submit = voice.submit
+
+    def counting_submit(ids_list, **kw):
+        submits.append(len(ids_list))
+        return orig_submit(ids_list, **kw)
+
+    voice.submit = counting_submit
+    batcher = CoalescingBatcher(voice, window_ms=100.0, max_batch=8)
+    try:
+        results = [None] * len(reqs)
+
+        def worker(i):
+            results[i] = batcher.synthesize_ids_batch(
+                reqs[i], syn=SynthesisConfig(seed=1)
+            )
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(reqs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None and len(r) == 6 for r in results)
+        assert max(submits) <= 8, submits
+    finally:
+        voice.submit = orig_submit
+        batcher.close()
+
+
+def test_close_never_strands_requests(tiny_voice):
+    """Requests racing close() either complete or get the
+    'batcher is closed' error — never a permanent event.wait() hang
+    (code-review finding)."""
+    voice = tiny_voice
+    batcher = CoalescingBatcher(voice, window_ms=2.0, max_batch=8)
+    outcomes = []
+
+    def worker(i):
+        try:
+            batcher.synthesize_ids_batch(
+                [[3, 4, 5, 6 + i]], syn=SynthesisConfig(seed=i)
+            )
+            outcomes.append("ok")
+        except RuntimeError:
+            outcomes.append("closed")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    batcher.close()
+    for t in threads:
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in threads), "stranded request thread"
+    assert len(outcomes) == 6
+
+
 def test_batcher_error_propagates(tiny_voice):
     voice = tiny_voice
     batcher = CoalescingBatcher(voice, window_ms=1.0, max_batch=8)
