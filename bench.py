@@ -110,9 +110,13 @@ def bench_train(args):
         state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(metrics["loss_gen_all"])
     reps = args.reps * 8
+    # pre-derive per-step keys: a PRNGKey() inside the timed loop is
+    # its own tiny dispatch and pollutes back-to-back step timing
+    keys = list(jax.random.split(jax.random.PRNGKey(100), reps))
+    jax.block_until_ready(keys[-1])
     t0 = time.perf_counter()
     for i in range(reps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        state, metrics = step(state, batch, keys[i])
     jax.block_until_ready(metrics["loss_gen_all"])
     step_s = (time.perf_counter() - t0) / reps
     n_chips = max(jax.device_count(), 1)
