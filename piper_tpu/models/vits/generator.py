@@ -321,7 +321,9 @@ def generator_tm_apply(
         # wide early stages: XLA NWC (channel dim fills the lanes; the
         # fused kernel's packed weights would not fit VMEM here). The
         # transposed conv runs polyphase — dense MXU matmuls, no
-        # zero-stuffed dilation work (~2x on the wide stage-0 tconv).
+        # zero-stuffed dilation work (measured ~1 ms off the high
+        # voice's generator; XLA handles the dilated form better than
+        # its 8x nominal zero-work suggests).
         u, k = cfg.upsample_rates[i], cfg.upsample_kernel_sizes[i]
         x = tnn.leaky_relu(x, LRELU_SLOPE)
         x = tnn.conv1d_transpose_poly(
