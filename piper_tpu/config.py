@@ -209,6 +209,12 @@ class SynthesisConfig:
     phoneme_silence_seconds: Optional[Dict[str, float]] = None
     volume: float = 1.0
     seed: Optional[int] = None
+    # Admission-queue controls (server batching; no device effect).
+    # Lower priority dispatches sooner; ties are FIFO. deadline_s bounds
+    # the time a request may wait in the admission queue before being
+    # shed with DeadlineExceeded (never cancels in-flight device work).
+    priority: int = 0
+    deadline_s: Optional[float] = None
 
 
 @dataclass

@@ -16,6 +16,13 @@ the benchmark's in-flight batches. Waveform order within a request is
 preserved; under a fixed `syn.seed` the voice's per-utterance
 content-hash keys make each utterance's audio identical regardless of
 batch composition, so coalescing is semantically invisible.
+
+Admission is priority-ordered: requests carry `syn.priority` (lower
+dispatches sooner, FIFO within a priority) and an optional
+`syn.deadline_s` queue-wait budget — a request still waiting in the
+admission queue past its deadline is shed with DeadlineExceeded
+instead of wasting a device slot (in-flight batches are never
+cancelled).
 """
 
 from __future__ import annotations
@@ -29,14 +36,28 @@ from ..config import SynthesisConfig
 
 _LOGGER = logging.getLogger(__name__)
 
+# Sentinel priority: drains after every real request so close() never
+# strands a queued waiter in event.wait().
+_SHUTDOWN_PRIO = 1 << 62
+
+
+class DeadlineExceeded(RuntimeError):
+    """The request's syn.deadline_s elapsed while it was still waiting
+    in the admission queue (it was shed before any device work)."""
+
 
 class _Pending:
-    __slots__ = ("ids_list", "syn", "key", "event", "results", "error")
+    __slots__ = (
+        "ids_list", "syn", "key", "event", "results", "error",
+        "priority", "deadline",
+    )
 
-    def __init__(self, ids_list, syn, key):
+    def __init__(self, ids_list, syn, key, priority=0, deadline=None):
         self.ids_list = ids_list
         self.syn = syn
         self.key = key
+        self.priority = priority
+        self.deadline = deadline  # absolute time.monotonic() or None
         self.event = threading.Event()
         self.results: Optional[list] = None
         self.error: Optional[BaseException] = None
@@ -71,7 +92,11 @@ class CoalescingBatcher:
         self.voice = voice
         self.window_s = window_ms / 1000.0
         self.max_batch = max_batch
-        self._q: "queue.Queue" = queue.Queue(max_queue)
+        # (priority, seq, _Pending | None): heap order is priority then
+        # arrival, so urgent requests jump a backed-up queue while ties
+        # stay FIFO. seq also keeps _Pending itself out of comparisons.
+        self._q: "queue.PriorityQueue" = queue.PriorityQueue(max_queue)
+        self._seq = 0
         self._handles: "queue.Queue" = queue.Queue()
         self._closed = False
         # Guards the closed-flag/sentinel pair: no request may enqueue
@@ -106,15 +131,24 @@ class CoalescingBatcher:
             return []
         syn = syn or SynthesisConfig()
         t0 = time.perf_counter()
-        p = _Pending(list(ids_list), syn, _syn_key(self.voice, syn))
+        priority = getattr(syn, "priority", 0) or 0
+        deadline_s = getattr(syn, "deadline_s", None)
+        deadline = (
+            time.monotonic() + deadline_s if deadline_s is not None else None
+        )
+        p = _Pending(
+            list(ids_list), syn, _syn_key(self.voice, syn),
+            priority=priority, deadline=deadline,
+        )
         with self._close_lock:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            self._seq += 1
             try:
                 # non-blocking: a blocking put would hold the close
                 # lock and deadlock close(); at max_queue depth the
                 # server is overloaded and should shed load anyway
-                self._q.put_nowait(p)
+                self._q.put_nowait((priority, self._seq, p))
             except queue.Full:
                 raise RuntimeError(
                     "batcher admission queue full (overloaded)"
@@ -134,22 +168,40 @@ class CoalescingBatcher:
             if self._closed:
                 return
             self._closed = True
-            self._q.put(None)
+            self._q.put((_SHUTDOWN_PRIO, 0, None))
         self._dispatcher.join(timeout=5)
         self._handles.put(None)
         self._collector.join(timeout=5)
 
     # -- worker side ---------------------------------------------------
 
+    @staticmethod
+    def _shed_if_expired(p: _Pending, now: float) -> bool:
+        """Fail a request whose queue-wait deadline already passed —
+        before it occupies a device slot. Returns True when shed."""
+        if p.deadline is None or now <= p.deadline:
+            return False
+        p.error = DeadlineExceeded(
+            f"request shed: waited past deadline_s={p.syn.deadline_s} "
+            "in the admission queue"
+        )
+        p.event.set()
+        _LOGGER.debug("shed %d utterances past deadline", len(p.ids_list))
+        return True
+
     def _dispatch_loop(self) -> None:
         import time
 
         carry = None
         while True:
-            first = carry if carry is not None else self._q.get()
-            carry = None
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                _prio, _seq, first = self._q.get()
             if first is None:
                 return
+            if self._shed_if_expired(first, time.monotonic()):
+                continue
             group = [first]
             n = len(first.ids_list)
             deadline = time.monotonic() + self.window_s
@@ -158,12 +210,14 @@ class CoalescingBatcher:
                 if remaining <= 0:
                     break
                 try:
-                    p = self._q.get(timeout=remaining)
+                    _prio, _seq, p = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if p is None:
                     self._flush(group)
                     return
+                if self._shed_if_expired(p, time.monotonic()):
+                    continue
                 if n + len(p.ids_list) > self.max_batch and n > 0:
                     # Would exceed the warmed-shape cap: this request
                     # seeds the NEXT window instead (never compile a

@@ -60,14 +60,26 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
                 syn.sentence_silence_seconds = float(query["sentence_silence"][0])
             if "seed" in query:
                 syn.seed = int(query["seed"][0])
+            # admission-queue controls (used when cross-request
+            # batching is on; lower priority dispatches sooner)
+            if "priority" in query:
+                syn.priority = int(query["priority"][0])
+            if "deadline_ms" in query:
+                syn.deadline_s = float(query["deadline_ms"][0]) / 1000.0
             return syn
 
         def _respond_wav(self, text: str, syn: SynthesisConfig):
+            from .batcher import DeadlineExceeded
+
             if not text.strip():
                 self.send_error(400, "no text provided")
                 return
             stats = SynthesisStats()
-            audio = voice.synthesize(text.strip(), syn=syn, stats=stats)
+            try:
+                audio = voice.synthesize(text.strip(), syn=syn, stats=stats)
+            except DeadlineExceeded as e:
+                self.send_error(503, str(e))
+                return
             payload = wav_bytes(audio, voice.config.sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -168,7 +180,13 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
                     if voice.batcher is not None
                     else voice.synthesize_ids_batch
                 )
-                audios = batch_fn(ids_list, syn=syn)
+                from .batcher import DeadlineExceeded
+
+                try:
+                    audios = batch_fn(ids_list, syn=syn)
+                except DeadlineExceeded as e:
+                    self.send_error(503, str(e))
+                    return
                 out = [
                     base64.b64encode(
                         wav_bytes(

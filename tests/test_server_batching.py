@@ -12,6 +12,8 @@ isolation, and (d) the HTTP server end-to-end under concurrent load.
 import io
 import json
 import threading
+import time
+import urllib.error
 import urllib.request
 import wave
 
@@ -336,6 +338,160 @@ def test_http_server_concurrent_load(text_voice):
                 assert w.getnframes() > 0
         # Coalescing must have happened: fewer submits than clients.
         assert len(submits) < n_clients, submits
+    finally:
+        server.shutdown()
+        voice.batcher.close()
+        voice.batcher = None
+        voice.submit = orig_submit
+
+
+# -- admission priorities / deadlines (ROADMAP #7) ---------------------
+
+
+def _stub_voice(record, gate=None):
+    """Pure-Python voice stand-in: submit() records dispatch order (and
+    optionally blocks on `gate`), so priority/deadline behavior is
+    deterministic with no device in the loop."""
+    import types
+
+    def submit(ids_list, syn=None, row_seeds=None):
+        if gate is not None:
+            gate.wait()
+        record.append(list(ids_list))
+        return [np.zeros(8, np.float32) for _ in ids_list]
+
+    return types.SimpleNamespace(
+        submit=submit,
+        collect=lambda handle: handle,
+        config=types.SimpleNamespace(
+            sample_rate=16000,
+            inference=types.SimpleNamespace(
+                noise_scale=0.667, length_scale=1.0, noise_w=0.8
+            ),
+        ),
+    )
+
+
+def test_priority_orders_backlogged_queue():
+    """While the dispatcher is busy, queued requests dispatch by
+    syn.priority (lower first), FIFO within a priority."""
+    record = []
+    gate = threading.Event()
+    batcher = CoalescingBatcher(
+        _stub_voice(record, gate), window_ms=1.0, max_batch=1
+    )
+    try:
+        results = {}
+
+        def worker(tag, prio):
+            results[tag] = batcher.synthesize_ids_batch(
+                [[tag]], syn=SynthesisConfig(priority=prio)
+            )
+
+        t0 = threading.Thread(target=worker, args=(100, 0))
+        t0.start()
+        time.sleep(0.15)  # dispatcher now blocked in submit(A)
+        later = [
+            threading.Thread(target=worker, args=(tag, prio))
+            for tag, prio in [(101, 5), (102, 0), (103, 9), (104, 5)]
+        ]
+        for t in later:
+            t.start()
+        time.sleep(0.15)  # all four queued behind the gate
+        gate.set()
+        for t in [t0, *later]:
+            t.join(timeout=60)
+        assert len(results) == 5
+        order = [ids[0][0] for ids in record]
+        # 100 dispatched first (it was in flight); the backlog drains
+        # priority-first: 102 (prio 0), then 101 before 104 (FIFO at
+        # prio 5), then 103 (prio 9).
+        assert order == [100, 102, 101, 104, 103], order
+    finally:
+        batcher.close()
+
+
+def test_deadline_sheds_queued_request():
+    """A request still queued past its deadline_s is shed with
+    DeadlineExceeded before reaching the device; others complete."""
+    from piper_tpu.server.batcher import DeadlineExceeded
+
+    record = []
+    gate = threading.Event()
+    batcher = CoalescingBatcher(
+        _stub_voice(record, gate), window_ms=1.0, max_batch=1
+    )
+    try:
+        outcome = {}
+
+        def worker(tag, syn):
+            try:
+                outcome[tag] = batcher.synthesize_ids_batch([[tag]], syn=syn)
+            except DeadlineExceeded:
+                outcome[tag] = "shed"
+
+        t0 = threading.Thread(target=worker, args=(1, SynthesisConfig()))
+        t0.start()
+        time.sleep(0.15)  # dispatcher blocked in submit(1)
+        t1 = threading.Thread(
+            target=worker, args=(2, SynthesisConfig(deadline_s=0.05))
+        )
+        t1.start()
+        time.sleep(0.3)  # request 2's queue-wait deadline passes
+        gate.set()
+        t0.join(timeout=60)
+        t1.join(timeout=60)
+        assert outcome[2] == "shed"
+        assert isinstance(outcome[1], list) and len(outcome[1]) == 1
+        assert [ids[0][0] for ids in record] == [1]  # 2 never dispatched
+    finally:
+        batcher.close()
+
+
+def test_http_deadline_returns_503(text_voice):
+    """deadline_ms through the HTTP surface: a request shed in the
+    admission queue returns 503; a concurrent normal request is 200."""
+    from piper_tpu.server.http_server import serve
+
+    voice = text_voice
+    gate = threading.Event()
+    orig_submit = voice.submit
+
+    def gated_submit(ids_list, **kw):
+        gate.wait()
+        return orig_submit(ids_list, **kw)
+
+    voice.submit = gated_submit
+    voice.batcher = CoalescingBatcher(voice, window_ms=1.0, max_batch=1)
+    server = serve(voice, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status = {}
+
+        def client(tag, qs):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/?text=hello%20there.&{qs}",
+                    timeout=300,
+                ) as resp:
+                    status[tag] = resp.status
+            except urllib.error.HTTPError as e:
+                status[tag] = e.code
+
+        t0 = threading.Thread(target=client, args=("ok", "seed=1"))
+        t0.start()
+        time.sleep(0.2)  # first request holds the gated dispatcher
+        t1 = threading.Thread(
+            target=client, args=("late", "seed=2&deadline_ms=50")
+        )
+        t1.start()
+        time.sleep(0.4)  # the late request's queue deadline passes
+        gate.set()
+        t0.join(timeout=300)
+        t1.join(timeout=300)
+        assert status["ok"] == 200
+        assert status["late"] == 503
     finally:
         server.shutdown()
         voice.batcher.close()
