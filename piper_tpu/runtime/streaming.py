@@ -158,5 +158,14 @@ def synthesize_stream_chunks(
             )
             windows.append(np.asarray(z_w[:1]))
         z_p = np.concatenate(windows, axis=1)[:, :n_frames]
-    dec = StreamingDecoder(voice, chunk_frames, pad_frames)
+    cache = getattr(voice, "_stream_decoders", None)
+    if cache is None:
+        dec = StreamingDecoder(voice, chunk_frames, pad_frames)
+    else:
+        key = (chunk_frames, pad_frames)
+        dec = cache.get(key)
+        if dec is None:
+            dec = cache.setdefault(
+                key, StreamingDecoder(voice, chunk_frames, pad_frames)
+            )
     yield from dec.stream(z_p, n_frames, sid)

@@ -493,6 +493,12 @@ class TpuVoice:
         # (see server/batcher.CoalescingBatcher).
         self.batcher = None
 
+        # StreamingDecoder cache, keyed by (chunk_frames, pad_frames):
+        # each decoder holds its own jit closure, so constructing one
+        # per /stream request would re-trace the chunk vocoder every
+        # request; cached here, the trace happens once per chunk shape.
+        self._stream_decoders: dict = {}
+
         self.mesh = mesh
         # Packed single-transfer collection works whenever this process
         # can address the gathered buffer (single chip, or a

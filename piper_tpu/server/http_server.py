@@ -38,7 +38,11 @@ from ..runtime.wav import audio_float_to_int16, wav_bytes
 _LOGGER = logging.getLogger("piper_tpu.http_server")
 
 
-def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
+def make_handler(
+    voice: TpuVoice,
+    default_syn: SynthesisConfig,
+    stream_slots=None,
+):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked /stream needs 1.1
 
@@ -106,33 +110,26 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
                         400, f"unknown format {fmt!r} (one of {RAW_FORMATS})"
                     )
                     return
-                self.send_response(200)
-                self.send_header(
-                    "Content-Type",
-                    "audio/L16" if fmt == "s16le" else "audio/x-mulaw",
-                )
-                self.send_header(
-                    "X-Sample-Rate", str(voice.config.sample_rate)
-                )
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
+                # Stream admission: each /stream holds a decode slot
+                # for its whole lifetime (it owns the device in 45-frame
+                # chunks), so unbounded concurrent streams would thrash
+                # every client's time-to-first-chunk. Waiting is bounded
+                # by the request's deadline_s (503 on expiry); without a
+                # deadline the request queues for a slot indefinitely.
+                if stream_slots is not None:
+                    # timeout=None blocks until a slot frees
+                    if not stream_slots.acquire(timeout=syn.deadline_s):
+                        self.send_error(
+                            503,
+                            "stream shed: no decode slot within "
+                            f"deadline_s={syn.deadline_s}",
+                        )
+                        return
                 try:
-                    for sentence in voice.phonemize(text.strip()):
-                        ids = voice.phonemes_to_ids(sentence)
-                        for chunk in synthesize_stream_chunks(
-                            voice, ids, syn=syn
-                        ):
-                            # fixed scaling (no per-chunk peak normalize:
-                            # the global peak is unknown mid-stream)
-                            pcm = encode_chunk(chunk, fmt)
-                            self.wfile.write(
-                                f"{len(pcm):X}\r\n".encode()
-                            )
-                            self.wfile.write(pcm)
-                            self.wfile.write(b"\r\n")
-                    self.wfile.write(b"0\r\n\r\n")
-                except BrokenPipeError:
-                    pass
+                    self._stream_body(text, syn, fmt)
+                finally:
+                    if stream_slots is not None:
+                        stream_slots.release()
                 return
             if parsed.path == "/health":
                 body = json.dumps(
@@ -153,6 +150,38 @@ def make_handler(voice: TpuVoice, default_syn: SynthesisConfig):
             query = urllib.parse.parse_qs(parsed.query)
             text = query.get("text", [""])[0]
             self._respond_wav(text, self._syn_from_query(query))
+
+        def _stream_body(self, text: str, syn: SynthesisConfig, fmt: str):
+            from ..runtime.codec import encode_chunk
+            from ..runtime.streaming import synthesize_stream_chunks
+
+            self.send_response(200)
+            self.send_header(
+                "Content-Type",
+                "audio/L16" if fmt == "s16le" else "audio/x-mulaw",
+            )
+            self.send_header(
+                "X-Sample-Rate", str(voice.config.sample_rate)
+            )
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            try:
+                for sentence in voice.phonemize(text.strip()):
+                    ids = voice.phonemes_to_ids(sentence)
+                    for chunk in synthesize_stream_chunks(
+                        voice, ids, syn=syn
+                    ):
+                        # fixed scaling (no per-chunk peak normalize:
+                        # the global peak is unknown mid-stream)
+                        pcm = encode_chunk(chunk, fmt)
+                        self.wfile.write(
+                            f"{len(pcm):X}\r\n".encode()
+                        )
+                        self.wfile.write(pcm)
+                        self.wfile.write(b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except BrokenPipeError:
+                pass
 
         def do_POST(self):
             parsed = urllib.parse.urlparse(self.path)
@@ -225,8 +254,16 @@ def serve(
     host: str = "0.0.0.0",
     port: int = 5000,
     syn: Optional[SynthesisConfig] = None,
+    stream_max_concurrent: int = 4,
 ) -> ThreadingHTTPServer:
-    handler = make_handler(voice, syn or SynthesisConfig())
+    import threading
+
+    stream_slots = (
+        threading.BoundedSemaphore(stream_max_concurrent)
+        if stream_max_concurrent > 0
+        else None
+    )
+    handler = make_handler(voice, syn or SynthesisConfig(), stream_slots)
     server = ThreadingHTTPServer((host, port), handler)
     _LOGGER.info("Serving on http://%s:%s", host, port)
     return server
@@ -267,6 +304,13 @@ def main(argv=None):
         help="Utterance cap per coalesced batch (default: the largest "
         "warmed batch size)",
     )
+    parser.add_argument(
+        "--stream-max-concurrent", type=int, default=4,
+        help="Decode-slot cap for concurrent /stream requests (each "
+        "stream owns the device in small chunks, so unbounded "
+        "concurrency thrashes time-to-first-chunk; excess streams "
+        "queue for a slot, bounded by their deadline_ms; 0 = no cap)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
     voice = load_voice(args)
@@ -305,7 +349,10 @@ def main(argv=None):
         sentence_silence_seconds=args.sentence_silence,
         seed=args.seed,
     )
-    server = serve(voice, args.host, args.port, syn)
+    server = serve(
+        voice, args.host, args.port, syn,
+        stream_max_concurrent=args.stream_max_concurrent,
+    )
     server.serve_forever()
 
 

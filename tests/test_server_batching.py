@@ -497,3 +497,82 @@ def test_http_deadline_returns_503(text_voice):
         voice.batcher.close()
         voice.batcher = None
         voice.submit = orig_submit
+
+
+def test_stream_slot_admission(text_voice):
+    """/stream decode slots are capped: with 1 slot held, a second
+    stream with a deadline is shed 503; the first completes 200."""
+    from piper_tpu.server.http_server import serve
+
+    voice = text_voice
+    gate = threading.Event()
+    calls = []
+    orig_phonemize = voice.phonemize
+
+    def gated_phonemize(text):
+        # called after slot acquisition: the first stream holds its
+        # slot here until released
+        calls.append(text)
+        if len(calls) == 1:
+            gate.wait()
+        return orig_phonemize(text)
+
+    voice.phonemize = gated_phonemize
+    server = serve(
+        voice, host="127.0.0.1", port=0, stream_max_concurrent=1
+    )
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status = {}
+
+        def client(tag, qs):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stream?text=slot%20test.&{qs}",
+                    timeout=300,
+                ) as resp:
+                    resp.read()
+                    status[tag] = resp.status
+            except urllib.error.HTTPError as e:
+                status[tag] = e.code
+
+        t0 = threading.Thread(target=client, args=("holder", "seed=1"))
+        t0.start()
+        for _ in range(100):  # wait until the slot is held
+            if calls:
+                break
+            time.sleep(0.05)
+        assert calls, "first stream never started"
+        t1 = threading.Thread(
+            target=client, args=("shed", "seed=2&deadline_ms=100")
+        )
+        t1.start()
+        t1.join(timeout=300)
+        gate.set()
+        t0.join(timeout=300)
+        assert status["shed"] == 503
+        assert status["holder"] == 200
+    finally:
+        server.shutdown()
+        voice.phonemize = orig_phonemize
+
+
+def test_stream_decoder_is_cached(tiny_voice):
+    """synthesize_stream_chunks reuses one StreamingDecoder per chunk
+    shape instead of re-tracing the chunk vocoder every request."""
+    from piper_tpu.runtime.streaming import synthesize_stream_chunks
+
+    voice = tiny_voice
+    voice._stream_decoders.clear()
+    ids = [3, 4, 5, 6, 7, 8]
+    a1 = np.concatenate(
+        list(synthesize_stream_chunks(voice, ids, syn=SynthesisConfig(seed=2)))
+    )
+    assert len(voice._stream_decoders) == 1
+    dec = next(iter(voice._stream_decoders.values()))
+    a2 = np.concatenate(
+        list(synthesize_stream_chunks(voice, ids, syn=SynthesisConfig(seed=2)))
+    )
+    assert next(iter(voice._stream_decoders.values())) is dec
+    np.testing.assert_allclose(a1, a2, atol=1e-6, rtol=0)
