@@ -97,6 +97,16 @@ class CoalescingBatcher:
         # stay FIFO. seq also keeps _Pending itself out of comparisons.
         self._q: "queue.PriorityQueue" = queue.PriorityQueue(max_queue)
         self._seq = 0
+        # Serving counters (read by the server's /metrics endpoint).
+        # Single-writer per field (dispatcher/collector threads) and
+        # int-increment atomic under the GIL — no lock needed.
+        self.stats = {
+            "requests": 0,     # admitted synthesize_ids_batch calls
+            "batches": 0,      # device batches dispatched
+            "utterances": 0,   # utterances across those batches
+            "shed_deadline": 0,  # requests shed past their deadline
+            "errors": 0,       # batches that raised
+        }
         self._handles: "queue.Queue" = queue.Queue()
         self._closed = False
         # Guards the closed-flag/sentinel pair: no request may enqueue
@@ -149,6 +159,7 @@ class CoalescingBatcher:
                 # lock and deadlock close(); at max_queue depth the
                 # server is overloaded and should shed load anyway
                 self._q.put_nowait((priority, self._seq, p))
+                self.stats["requests"] += 1
             except queue.Full:
                 raise RuntimeError(
                     "batcher admission queue full (overloaded)"
@@ -175,8 +186,7 @@ class CoalescingBatcher:
 
     # -- worker side ---------------------------------------------------
 
-    @staticmethod
-    def _shed_if_expired(p: _Pending, now: float) -> bool:
+    def _shed_if_expired(self, p: _Pending, now: float) -> bool:
         """Fail a request whose queue-wait deadline already passed —
         before it occupies a device slot. Returns True when shed."""
         if p.deadline is None or now <= p.deadline:
@@ -186,6 +196,7 @@ class CoalescingBatcher:
             "in the admission queue"
         )
         p.event.set()
+        self.stats["shed_deadline"] += 1
         _LOGGER.debug("shed %d utterances past deadline", len(p.ids_list))
         return True
 
@@ -245,10 +256,13 @@ class CoalescingBatcher:
                     ids, syn=ps[0].syn, row_seeds=seeds
                 )
             except BaseException as e:  # noqa: BLE001 - propagate to waiters
+                self.stats["errors"] += 1
                 for p in ps:
                     p.error = e
                     p.event.set()
                 continue
+            self.stats["batches"] += 1
+            self.stats["utterances"] += len(ids)
             _LOGGER.debug(
                 "coalesced %d requests (%d utterances) into one batch",
                 len(ps), len(ids),

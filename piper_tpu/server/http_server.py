@@ -18,6 +18,8 @@ Extra endpoints beyond the reference:
                  synthesized). `format=s16le` (default) or
                  `format=mulaw` (G.711, half the bytes).
   GET  /health — liveness + voice metadata
+  GET  /metrics — serving counters (requests, shed deadlines, active
+                 streams, coalescing-batcher batch/utterance totals)
 """
 
 from __future__ import annotations
@@ -43,6 +45,19 @@ def make_handler(
     default_syn: SynthesisConfig,
     stream_slots=None,
 ):
+    import time as _time
+
+    # Server-level gauges/counters, exposed by GET /metrics. Written
+    # from request threads: int += is atomic under the GIL.
+    metrics = {
+        "started_monotonic": _time.monotonic(),
+        "wav_requests": 0,
+        "wav_shed_deadline": 0,
+        "streams_served": 0,
+        "streams_active": 0,
+        "streams_shed": 0,
+    }
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked /stream needs 1.1
 
@@ -79,9 +94,11 @@ def make_handler(
                 self.send_error(400, "no text provided")
                 return
             stats = SynthesisStats()
+            metrics["wav_requests"] += 1
             try:
                 audio = voice.synthesize(text.strip(), syn=syn, stats=stats)
             except DeadlineExceeded as e:
+                metrics["wav_shed_deadline"] += 1
                 self.send_error(503, str(e))
                 return
             payload = wav_bytes(audio, voice.config.sample_rate)
@@ -119,17 +136,38 @@ def make_handler(
                 if stream_slots is not None:
                     # timeout=None blocks until a slot frees
                     if not stream_slots.acquire(timeout=syn.deadline_s):
+                        metrics["streams_shed"] += 1
                         self.send_error(
                             503,
                             "stream shed: no decode slot within "
                             f"deadline_s={syn.deadline_s}",
                         )
                         return
+                metrics["streams_active"] += 1
                 try:
                     self._stream_body(text, syn, fmt)
+                    metrics["streams_served"] += 1
                 finally:
+                    metrics["streams_active"] -= 1
                     if stream_slots is not None:
                         stream_slots.release()
+                return
+            if parsed.path == "/metrics":
+                body = dict(metrics)
+                body["uptime_s"] = round(
+                    _time.monotonic() - body.pop("started_monotonic"), 3
+                )
+                body["batcher"] = (
+                    dict(voice.batcher.stats)
+                    if voice.batcher is not None
+                    else None
+                )
+                payload = json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
                 return
             if parsed.path == "/health":
                 body = json.dumps(

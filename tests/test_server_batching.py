@@ -576,3 +576,36 @@ def test_stream_decoder_is_cached(tiny_voice):
     )
     assert next(iter(voice._stream_decoders.values())) is dec
     np.testing.assert_allclose(a1, a2, atol=1e-6, rtol=0)
+
+
+def test_metrics_endpoint(text_voice):
+    """GET /metrics exposes server counters and batcher stats."""
+    from piper_tpu.server.http_server import serve
+
+    voice = text_voice
+    voice.batcher = CoalescingBatcher(voice, window_ms=2.0, max_batch=8)
+    server = serve(voice, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/?text=metrics%20probe.&seed=1",
+            timeout=300,
+        ) as resp:
+            assert resp.status == 200
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=60
+        ) as resp:
+            m = json.loads(resp.read())
+        assert m["wav_requests"] == 1
+        assert m["uptime_s"] >= 0
+        assert m["streams_active"] == 0
+        b = m["batcher"]
+        assert b is not None
+        assert b["requests"] >= 1 and b["batches"] >= 1
+        assert b["utterances"] >= 1
+        assert b["shed_deadline"] == 0
+    finally:
+        server.shutdown()
+        voice.batcher.close()
+        voice.batcher = None
