@@ -98,8 +98,8 @@ class CoalescingBatcher:
         self._q: "queue.PriorityQueue" = queue.PriorityQueue(max_queue)
         self._seq = 0
         # Serving counters (read by the server's /metrics endpoint).
-        # Single-writer per field (dispatcher/collector threads) and
-        # int-increment atomic under the GIL — no lock needed.
+        # "requests" is written under _close_lock; the rest are
+        # dispatcher-thread-only. int += is atomic under the GIL.
         self.stats = {
             "requests": 0,     # admitted synthesize_ids_batch calls
             "batches": 0,      # device batches dispatched
