@@ -162,6 +162,12 @@ def make_handler(
                     if voice.batcher is not None
                     else None
                 )
+                # speculative-transfer margin: the live calibration
+                # state behind packed-transfer sizing (diagnosing
+                # refetch/redecode regressions; see runtime/voice.py)
+                body["spec_margin"] = round(
+                    getattr(voice, "_spec_margin", 0.0), 4
+                )
                 payload = json.dumps(body).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
