@@ -185,13 +185,16 @@ def main():
         ids_list = ids_list + ids_list
     ids_list = ids_list[:batch]
 
-    # One phoneme bucket (encoder padding is cheap; one encode dispatch
-    # and one duration sync per batch); fine frame buckets minimize
-    # padded device->host audio bytes — the bottleneck on tunneled
-    # chips is the host link, and compute hides behind it.
-    # decode_grouping="uniform": the tunneled host link makes dispatch
-    # round-trips, not FLOPs, the scarce resource — one decode shape
-    # per frame bucket, ~4 dispatches per batch, minimal cold start.
+    # One phoneme bucket (encoder padding is cheaper than a second
+    # encode dispatch: row counts round to powers of two, so a split
+    # ladder pays the same padded tokens PLUS a dispatch); fine frame
+    # buckets minimize padded device->host audio bytes — the
+    # bottleneck on tunneled chips is the host link.
+    # decode_grouping="uniform": on THIS tunneled chip each extra
+    # dispatch costs ~3.3 ms (measured, docs/BENCH_NOTES.md), which
+    # outweighs the 37% padded-frame saving the "packed" DP planner
+    # wins on this batch (2740 vs 2652 audio-s/s device-only) — on a
+    # direct-attached host "packed" is the right mode.
     voice = TpuVoice.random(
         args.quality, num_symbols=256, seed=0, precision=args.precision,
         vocoder=args.vocoder, variant=args.variant,

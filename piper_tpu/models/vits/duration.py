@@ -52,14 +52,22 @@ def conv_flow_apply(
     kernel_size: int,
     g: Optional[jnp.ndarray] = None,
     reverse: bool = False,
+    dtype=jnp.float32,
 ):
-    """x: (B, T, 2). Spline-coupling flow on the second channel half."""
+    """x: (B, T, 2). Spline-coupling flow on the second channel half.
+
+    `dtype` is the compute dtype of the conditioning stack (pre /
+    DDSConv / proj) only — the flow state and the spline itself stay
+    float32 (the rational-quadratic division chains are
+    precision-critical). Serving passes bfloat16 under
+    precision="fast"; training and parity keep the float32 default.
+    """
     half = x.shape[-1] // 2
     filter_channels = p["pre"]["w"].shape[-1]
     x0, x1 = x[..., :half], x[..., half:]
-    h = L.dense(p["pre"], x0)
-    h = L.ddsconv_apply(p["convs"], h, x_mask, kernel_size=kernel_size, g=g)
-    h = L.dense(p["proj"], h) * x_mask  # (B, T, half*(3K-1))
+    h = L.dense(p["pre"], x0.astype(dtype))
+    h = L.ddsconv_apply(p["convs"], h, x_mask.astype(dtype), kernel_size=kernel_size, g=g)
+    h = (L.dense(p["proj"], h).astype(jnp.float32)) * x_mask  # (B, T, half*(3K-1))
 
     b, t, _ = x0.shape
     h = h.reshape(b, t, half, SDP_NUM_BINS * 3 - 1)
@@ -137,6 +145,7 @@ def sdp_reverse(
     noise_w: jnp.ndarray,
     noise: jnp.ndarray,
     g: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Sample log-durations (models.py:108-117).
 
@@ -144,12 +153,20 @@ def sdp_reverse(
     standard normal; noise_w: scalar noise scale; g: (B, gin) speaker
     embedding.
     Returns logw (B, T, 1).
+
+    `dtype` is the compute dtype of the conditioning convnets (the
+    context stack and each ConvFlow's DDSConv) — serving passes
+    bfloat16 under precision="fast" for MXU throughput. The flow
+    state, the splines, and the final logw stay float32 regardless
+    (see module docstring); training/parity use the float32 default.
     """
-    x = x.astype(jnp.float32)
+    x = x.astype(dtype)
     x_mask = x_mask.astype(jnp.float32)
     if g is not None:
-        g = g.astype(jnp.float32)
-    h = _sdp_context(p, x, x_mask, kernel_size=cfg.kernel_size, g=g)
+        g = g.astype(dtype)
+    h = _sdp_context(
+        p, x, x_mask.astype(dtype), kernel_size=cfg.kernel_size, g=g
+    )
     z = noise.astype(jnp.float32) * noise_w
 
     # reversed(flows)[:-2] + [last] == Flip,CF4,Flip,CF3,Flip,CF2,Flip,EA
@@ -157,7 +174,8 @@ def sdp_reverse(
     for cf in p["flows"]["conv_flows"][:0:-1]:  # CF4, CF3, CF2
         z = L.flip_channels(z)
         z = conv_flow_apply(
-            cf, z, x_mask, kernel_size=cfg.kernel_size, g=h, reverse=True
+            cf, z, x_mask, kernel_size=cfg.kernel_size, g=h, reverse=True,
+            dtype=dtype,
         )
     z = L.flip_channels(z)
     z = L.elementwise_affine(p["flows"]["affine"], z, x_mask, reverse=True)

@@ -262,27 +262,31 @@ def _fused_suffix_start(cfg: ModelConfig, start: int, esize: int = 2) -> int:
 
 
 def _tconv_tm(x_tm, w_phase, q0, used, bias):
-    """Polyphase time-major transposed conv: (B, C_in, V) -> (B, C_out, V*u)."""
+    """Polyphase time-major transposed conv: (B, C_in, V) -> (B, C_out, V*u).
+
+    One einsum over the (phase, tap) axes: the nq shifted input views
+    are shared by every phase, so stacking them once and contracting
+    (tap, c_in) in a single (nq*C_in)-deep matmul replaces u*nq small
+    einsums + a phase stack (w_phase holds zeros at unused taps). The
+    output is emitted u-minor ("...vp") so the interleave is a free
+    reshape, not a transpose — the old form was HBM-bound on u*nq
+    separate full-tensor passes.
+    """
     uph, nq = used.shape
-    v = x_tm.shape[2]
-    phases = []
-    for p in range(uph):
-        acc = None
-        for qi in range(nq):
-            if not used[p, qi]:
-                continue
-            q = q0 + qi
-            if q == 0:
-                seg = x_tm
-            elif q > 0:
-                seg = jnp.pad(x_tm, ((0, 0), (0, 0), (0, q)))[:, :, q:]
-            else:
-                seg = jnp.pad(x_tm, ((0, 0), (0, 0), (-q, 0)))[:, :, :v]
-            t = jnp.einsum("io,biv->bov", w_phase[p, qi], seg)
-            acc = t if acc is None else acc + t
-        phases.append(acc)
-    out = jnp.stack(phases, axis=-1)  # (B, C_out, V, u): u-minor
-    out = out.reshape(out.shape[0], out.shape[1], v * uph)
+    b, c_in, v = x_tm.shape
+    segs = []
+    for qi in range(nq):
+        q = q0 + qi
+        if q == 0:
+            seg = x_tm
+        elif q > 0:
+            seg = jnp.pad(x_tm, ((0, 0), (0, 0), (0, q)))[:, :, q:]
+        else:
+            seg = jnp.pad(x_tm, ((0, 0), (0, 0), (-q, 0)))[:, :, :v]
+        segs.append(seg)
+    taps = jnp.stack(segs, axis=1)  # (B, nq, C_in, V): shared by phases
+    out = jnp.einsum("pqio,bqiv->bovp", w_phase, taps)
+    out = out.reshape(b, out.shape[1], v * uph)  # u-minor merge, no transpose
     return out + bias.astype(out.dtype)[None, :, None]
 
 

@@ -123,7 +123,7 @@ def synthesizer_encode(
             )
         logw = D.sdp_reverse(
             params["dp"], x, x_mask, cfg=cfg, noise_w=noise_w_scale,
-            noise=dur_noise, g=g,
+            noise=dur_noise, g=g, dtype=dtype,
         )
     else:
         logw = D.dp_apply(params["dp"], x, x_mask, cfg=cfg, g=g)

@@ -164,6 +164,14 @@ class TpuVoice:
               ~4 dispatches instead of ~2 per group — best when the
               host link round-trips dominate (tunneled/remote chips)
               and for minimal cold start.
+          "packed": DP partition of the (length-sorted) rows into
+              power-of-two-row groups, each at its own frame bucket,
+              minimizing padded row-frames + a per-group dispatch
+              charge (batching.plan_packed_groups). Subsumes both
+              modes above (either is a candidate partition): removes
+              uniform's short-rows-at-max-bucket waste while pricing
+              in bucketed's extra dispatches and row rounding. All
+              shapes stay inside the (pow2 rows x ladder) warm set.
 
         `estimator_cache`: persist the calibrated serving estimators
         (frames-per-id ratio, packed-transfer margin) in the
@@ -214,7 +222,7 @@ class TpuVoice:
         self._key_lock = threading.Lock()
         self.phonemizer = phonemizer
         self._multispeaker = model_cfg.num_speakers > 1
-        if decode_grouping not in ("bucketed", "uniform"):
+        if decode_grouping not in ("bucketed", "uniform", "packed"):
             raise ValueError(f"decode_grouping: {decode_grouping!r}")
         self.decode_grouping = decode_grouping
         if wire_format not in ("int16", "mulaw"):
@@ -564,6 +572,11 @@ class TpuVoice:
                 max(int(f) for f in frame_counts), self.frame_buckets
             )
             return [(fb, list(range(len(frame_counts))))]
+        if self.decode_grouping == "packed":
+            return batching.plan_packed_groups(
+                [int(f) for f in frame_counts], self.frame_buckets,
+                round_rows=self._round_rows,
+            )
         return batching.group_by_bucket(
             [int(f) for f in frame_counts], self.frame_buckets
         )

@@ -78,6 +78,42 @@ def test_bucketing():
     assert groups[64] == [1, 3]
 
 
+def test_plan_packed_groups():
+    from piper_tpu.runtime.batching import plan_packed_groups
+
+    ladder = [256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096]
+
+    def p2(n):
+        p = 1
+        while p < n:
+            p <<= 1
+        return p
+
+    # Representative serving batch: mixed lengths, 32 rows.
+    ests = [237] * 5 + [316] * 5 + [345] * 5 + [404] * 5 \
+        + [412] * 4 + [643] * 4 + [797] * 4
+    groups = plan_packed_groups(ests, ladder, round_rows=p2)
+    # Every row appears exactly once and fits its group's bucket.
+    idx = sorted(i for _, rows in groups for i in rows)
+    assert idx == list(range(len(ests)))
+    for b, rows in groups:
+        assert all(ests[i] <= b for i in rows)
+    # Strictly beats decode-at-the-max-bucket (uniform) on padded
+    # row-frames for this mix, and never does worse than uniform + one
+    # dispatch charge by construction (uniform is a candidate
+    # partition).
+    padded = sum(p2(len(rows)) * b for b, rows in groups)
+    assert padded < p2(len(ests)) * pick_bucket(max(ests), ladder)
+
+    # Degenerate cases.
+    assert plan_packed_groups([], ladder) == []
+    assert plan_packed_groups([100], ladder, round_rows=p2) == [(256, [0])]
+    # Power-of-two rounding can make splitting 3 equal rows cheaper
+    # than padding to 4 — the DP must find that.
+    g3 = plan_packed_groups([4000] * 3, ladder, round_rows=p2)
+    assert sorted(len(r) for _, r in g3) == [1, 2]
+
+
 def test_wav_roundtrip(tmp_path):
     audio = (np.sin(np.linspace(0, 100, 1600)) * 0.5).astype(np.float32)
     pcm = audio_float_to_int16(audio)
