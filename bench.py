@@ -222,6 +222,11 @@ def main():
     # timed regions below see steady-state serving.
     for _ in range(6):
         voice.synthesize_ids_batch(ids_list, syn=syn)
+    # The recurring batch plan triggers a background fused-dispatch
+    # compile (decode groups + pack in ONE executable); wait for it so
+    # the timed region measures steady-state single-dispatch serving.
+    voice.wait_dispatch_fusion(180.0)
+    voice.synthesize_ids_batch(ids_list, syn=syn)
 
     # Sequential (latency) timing.
     times = []

@@ -237,6 +237,37 @@ def test_speculative_matches_exact(fast_voice):
         np.testing.assert_array_equal(a, b)
 
 
+def test_dispatch_fusion_matches(fast_voice):
+    """After a batch plan recurs, the speculative path swaps its
+    per-group decode + pack dispatches for one background-compiled
+    fused executable. The audio must be identical (same ops, one
+    executable) and the cache must report the plan ready."""
+    import time as _time
+
+    recs = [json.loads(l) for l in open(REF_JSONL)][:6]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=11)
+    assert fast_voice._fusion
+    baseline = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    # Recur the plan past the compile threshold.
+    for _ in range(4):
+        fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    # Wait for the background compile to land.
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        with fast_voice._fused_lock:
+            states = {v[0] for v in fast_voice._fused_cache.values()}
+        if "ready" in states:
+            break
+        assert "failed" not in states, "fused compile failed"
+        _time.sleep(0.5)
+    else:
+        raise AssertionError("fused executable never became ready")
+    fused_out = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    for a, b in zip(baseline, fused_out):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_speculative_misprediction_recovery(fast_voice):
     """Force the estimator wrong in both directions: tiny upper ratio
     (bucket overflow -> re-decode) and tiny mean (packed-total
