@@ -454,28 +454,53 @@ def _fused_stage_kernel(
         s = jnp.asarray(LRELU_SLOPE, v.dtype)
         return jnp.maximum(v, 0) + s * jnp.minimum(v, 0)
 
-    def plane_shift(h, p_src: int, delta: int):
-        """Plane block p_src of h, lane-shifted by delta (zero fill)."""
-        blk = h[:, p_src * wp : (p_src + 1) * wp]
-        if delta == 0:
-            return blk
-        if delta > 0:
-            return jnp.pad(blk, ((0, 0), (0, delta)))[:, delta:]
-        return jnp.pad(blk, ((0, 0), (-delta, 0)))[:, :wp]
+    def flat_shift(h, sh: int):
+        """h lane-shifted by sh across the WHOLE (C, u_out*Wp) buffer
+        (zero fill at the buffer ends)."""
+        if sh == 0:
+            return h
+        wtot = h.shape[1]
+        if sh > 0:
+            return jnp.pad(h, ((0, 0), (0, sh)))[:, sh:]
+        return jnp.pad(h, ((0, 0), (-sh, 0)))[:, :wtot]
+
+    def tap_rows(h, o: int):
+        """Assemble the tap row-block for true-time offset o as at most
+        TWO flat run copies instead of u_out per-plane copies.
+
+        Out time t = u_out*w + p reads t + o. With o = u_out*d0 + r
+        (r in [0, u_out)), dest planes [0, u_out-r) map to src plane
+        p+r at frame shift d0 and dest planes [u_out-r, u_out) wrap to
+        src plane p+r-u_out at shift d0+1 — each run is CONTIGUOUS in
+        the flat plane-major lane layout, so it is one lane-offset
+        block copy (run1 flat offset r*Wp + d0, run2 (r-u_out)*Wp +
+        d0 + 1). Columns shifted in across a plane boundary hold the
+        neighboring plane's edge frames instead of the per-plane zero
+        fill — wrong values at exactly the positions the halo
+        discipline already discards (the old zero fill was equally
+        wrong there: the true neighboring frames are nonzero), so
+        retained output is unchanged.
+        """
+        r = o % u_out
+        d0 = (o - r) // u_out
+        if r == 0:
+            return [(0, flat_shift(h, d0))]
+        n1 = (u_out - r) * wp
+        run1 = flat_shift(h, r * wp + d0)[:, :n1]
+        run2 = flat_shift(h, (r - u_out) * wp + d0 + 1)[:, n1:]
+        return [(0, run1), (n1, run2)]
 
     def conv_step(h, conv_idx, k, d):
-        """True-time dilated conv on phase-blocked layout: per (plane,
-        tap) a static block copy, then ONE tap-packed MXU matmul."""
+        """True-time dilated conv on phase-blocked layout: per tap at
+        most two flat run copies (see tap_rows), then ONE tap-packed
+        MXU matmul."""
         pad = (k * d - d) // 2
         for kk in range(k):
             o = kk * d - pad
-            for p in range(u_out):
-                # out time t = u_out*w + p reads t + o = u_out*(w+delta) + p_src
-                p_src = (p + o) % u_out
-                delta = (p + o - p_src) // u_out
+            for lo, blk in tap_rows(h, o):
                 tap_ref[
-                    kk * c_out : (kk + 1) * c_out, p * wp : (p + 1) * wp
-                ] = plane_shift(h, p_src, delta)
+                    kk * c_out : (kk + 1) * c_out, lo : lo + blk.shape[1]
+                ] = blk
         stacked = tap_ref[: k * c_out, :]
         w_all = wm_ref[conv_idx, : k * c_out].astype(h.dtype)
         acc = jax.lax.dot_general(
@@ -532,12 +557,10 @@ def _fused_stage_kernel(
     pad = (k_post - 1) // 2
     for kk in range(k_post):
         o = kk - pad
-        for p in range(u_out):
-            p_src = (p + o) % u_out
-            delta = (p + o - p_src) // u_out
+        for lo, blk in tap_rows(g, o):
             tap_ref[
-                kk * c_out : (kk + 1) * c_out, p * wp : (p + 1) * wp
-            ] = plane_shift(g, p_src, delta)
+                kk * c_out : (kk + 1) * c_out, lo : lo + blk.shape[1]
+            ] = blk
     y = jax.lax.dot_general(
         wp_ref[...].astype(g.dtype), tap_ref[: k_post * c_out, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
