@@ -739,12 +739,15 @@ def fused_stage_vmem_ok(
     tap-copy count per conv). esize: bytes per activation element
     (2 = bf16 serving; pass 4 when calling the kernel in float32)."""
     u_out = u * u_in
-    # Measured on v5e (medium voice): compound u_out=32 loses to leaving
-    # the earlier stage on the XLA path — the per-conv tap assembly is
-    # k*u_out block copies and the VMEM-capped tile shrinks to 128
-    # frames. u_out <= 8 keeps the copy unroll and tiles in the regime
-    # where the fused pass wins.
-    if u_out > 8:
+    # The old u_out <= 8 cap dated from per-plane tap assembly
+    # (k*u_out block copies per conv). With run-batched tap copies
+    # (<= 2 flat runs per tap, independent of u_out) the deep compound
+    # chain WINS: medium stages 1-2 as one fused suffix (u_out 8 -> 32)
+    # measured 17.6 ms vs 20.8 ms for tconv+mrf_fused+fused-last-stage
+    # on the v5e. Keep a sanity cap where the per-tile plane unroll
+    # (a_ref/mask assembly is still u_out block writes) and the
+    # VMEM-floored 128-frame tile stop paying.
+    if u_out > 32:
         return False
     n_convs = sum(
         (2 if resblock_type == "1" else 1) * len(d) for d in dilation_sizes
