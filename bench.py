@@ -29,6 +29,12 @@ decompose it:
 MPD discriminators + on-device MAS), medium config, batch 16, bf16,
 steps dispatched back-to-back; prints one JSON line with
 steps/s and utterances/s/chip (reference perf datum: TRAINING.md:183).
+
+`--serve` instead benchmarks serving latency through the real HTTP
+server: warm time-to-first-chunk on /stream plus p50/p99 per-request
+latency under --clients concurrent WAV clients with the coalescing
+batcher on; prints one JSON line ({ttfc_warm_s, p50_s, p99_s,
+clients}) for the SERVEBENCH_r0N.json artifact.
 """
 
 import argparse
@@ -41,17 +47,23 @@ import numpy as np
 
 def _setup_cache():
     import os
+    import sys
     from pathlib import Path
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
     import jax
 
-    # Persistent compilation cache: PIPER_TPU_CACHE wins; else a
-    # .jax_cache next to this script (the repo checkout); else the
-    # runtime's default (~/.cache/piper_tpu/jax) kicks in on voice load.
-    cache = os.environ.get("PIPER_TPU_CACHE") or str(
+    from piper_tpu.runtime.cache import cache_dir
+
+    # Persistent compilation cache, machine-keyed (runtime/cache.py):
+    # PIPER_TPU_CACHE wins as the base; else a .jax_cache next to this
+    # script (the repo checkout). Either way entries are segregated per
+    # host fingerprint so a checkout moved between machines never
+    # replays incompatible XLA:CPU AOT executables.
+    base = os.environ.get("PIPER_TPU_CACHE") or str(
         Path(__file__).resolve().parent / ".jax_cache"
     )
-    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_compilation_cache_dir", cache_dir(base))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return jax
 
@@ -145,6 +157,152 @@ def bench_train(args):
     }))
 
 
+def bench_serve(args):
+    """Serving-latency benchmark (VERDICT r4 #5): warm TTFC on /stream
+    and p50/p99 per-request wall latency under N concurrent clients
+    hitting the real HTTP server (coalescing batcher on), printed as
+    ONE JSON line for a driver-parseable SERVEBENCH_r0N.json artifact.
+    Reference instrumentation counterpart:
+    src/python/piper_train/infer_onnx_streaming.py:55-74 (RTF of first
+    chunk = the reference's only latency number)."""
+    jax = _setup_cache()
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from piper_tpu.config import PhonemeType, SynthesisConfig
+    from piper_tpu.runtime.voice import TpuVoice
+    from piper_tpu.server.batcher import CoalescingBatcher
+    from piper_tpu.server.http_server import serve
+
+    clients = args.clients
+    per_client = args.per_client
+    voice = TpuVoice.random(
+        args.quality, num_symbols=256, seed=0, precision=args.precision,
+        phoneme_buckets=[128],
+        frame_buckets=[256, 512, 1024],
+        estimator_cache=True,
+    )
+    # Codepoint front end: ASCII chars are ids in .random()'s map, so
+    # any plain-text query phonemizes without espeak.
+    voice.config.phoneme_type = PhonemeType.TEXT
+    voice.batcher = CoalescingBatcher(
+        voice, window_ms=args.batch_window_ms, max_batch=max(32, clients)
+    )
+    server = serve(voice, host="127.0.0.1", port=0, stream_max_concurrent=4)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog.",
+        "A tpu native rebuild of a neural text to speech pipeline.",
+        "Latency is measured end to end through the coalescing batcher.",
+        "Short one.",
+    ]
+
+    # Warm every shape the run will hit: bucket ladder + the
+    # streaming decoder's chunk shapes, then settle the estimators.
+    t0 = time.perf_counter()
+    voice.warmup(
+        tuple(sorted({1, 2, clients // 2 or 1, clients, 32})), full=True
+    )
+    with urllib.request.urlopen(
+        f"{base}/stream?text=Warm+the+streaming+decoder+path.&seed=1",
+        timeout=600,
+    ) as r:
+        r.read()
+    for t in texts:
+        q = urllib.parse.quote(t)
+        with urllib.request.urlopen(
+            f"{base}/?text={q}&seed=2", timeout=600
+        ) as r:
+            r.read()
+    warm_s = time.perf_counter() - t0
+
+    # Warm time-to-first-chunk on /stream: wall time from request
+    # start to the first audio byte, median of 5.
+    def ttfc_once(seed):
+        q = urllib.parse.quote(texts[0])
+        t1 = time.perf_counter()
+        with urllib.request.urlopen(
+            f"{base}/stream?text={q}&seed={seed}", timeout=600
+        ) as r:
+            first = r.read(2)
+            dt = time.perf_counter() - t1
+            assert len(first) == 2
+            r.read()
+        return dt
+
+    ttfc_once(3)
+    ttfcs = [ttfc_once(4 + i) for i in range(5)]
+    ttfc = float(np.median(ttfcs))
+
+    # Concurrent WAV load: `clients` threads, each `per_client`
+    # sequential requests; per-request wall latency recorded.
+    lat = []
+    lat_lock = threading.Lock()
+    errors = []
+
+    def client(cid):
+        for i in range(per_client):
+            q = urllib.parse.quote(texts[(cid + i) % len(texts)])
+            t1 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(
+                    f"{base}/?text={q}&seed={cid * 100 + i}", timeout=600
+                ) as r:
+                    r.read()
+            except Exception as e:  # noqa: BLE001 - recorded, not raised
+                errors.append(repr(e))
+                continue
+            dt = time.perf_counter() - t1
+            with lat_lock:
+                lat.append(dt)
+
+    threads = [
+        threading.Thread(target=client, args=(c,)) for c in range(clients)
+    ]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    load_wall = time.perf_counter() - t0
+    server.shutdown()
+    assert not errors, errors[:3]
+    lat.sort()
+
+    def pct(p):
+        return lat[min(len(lat) - 1, int(p / 100.0 * len(lat)))]
+
+    result = {
+        "metric": "serving-latency",
+        "ttfc_warm_s": round(ttfc, 4),
+        "p50_s": round(pct(50), 4),
+        "p99_s": round(pct(99), 4),
+        "clients": clients,
+        "unit": "s",
+        "vs_baseline": None,
+    }
+    if not args.json_only:
+        detail = {
+            "mode": "serve",
+            "quality": args.quality,
+            "requests": len(lat),
+            "per_client": per_client,
+            "batch_window_ms": args.batch_window_ms,
+            "throughput_req_per_s": round(len(lat) / load_wall, 2),
+            "p90_s": round(pct(90), 4),
+            "mean_s": round(float(np.mean(lat)), 4),
+            "ttfc_samples": [round(t, 4) for t in ttfcs],
+            "warmup_s": round(warm_s, 1),
+            "streams_max_concurrent": 4,
+        }
+        print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quality", default="medium")
@@ -159,6 +317,21 @@ def main():
         help="benchmark the GAN training step instead of serving",
     )
     ap.add_argument(
+        "--serve", action="store_true",
+        help="benchmark HTTP serving latency (TTFC + p50/p99 under "
+        "concurrent clients) instead of throughput",
+    )
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--per-client", type=int, default=8)
+    ap.add_argument("--batch-window-ms", type=float, default=10.0)
+    ap.add_argument(
+        "--decode-grouping", default="uniform",
+        choices=["uniform", "packed", "bucketed"],
+        help="decode planner for the throughput bench (A/B lever: "
+        "'packed' saves padded frames but costs dispatches unless "
+        "dispatch fusion has kicked in)",
+    )
+    ap.add_argument(
         "--no-mulaw", action="store_true",
         help="skip the mu-law companion measurement",
     )
@@ -167,6 +340,9 @@ def main():
 
     if args.train:
         bench_train(args)
+        return
+    if args.serve:
+        bench_serve(args)
         return
     batch = args.batch or 32
 
@@ -200,7 +376,7 @@ def main():
         vocoder=args.vocoder, variant=args.variant,
         phoneme_buckets=[512],
         frame_buckets=[256, 384, 512, 640, 768, 896, 1024, 1536, 2048, 4096],
-        decode_grouping="uniform",
+        decode_grouping=args.decode_grouping,
         estimator_cache=True,
     )
     sr = voice.config.sample_rate

@@ -184,10 +184,12 @@ def main(argv=None) -> None:
 
     import jax
 
-    cache = os.environ.get("PIPER_TPU_CACHE") or str(
+    from piper_tpu.runtime.cache import cache_dir
+
+    base = os.environ.get("PIPER_TPU_CACHE") or str(
         Path(__file__).resolve().parent.parent / ".jax_cache"
     )
-    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_compilation_cache_dir", cache_dir(base))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if not args.skip_build:

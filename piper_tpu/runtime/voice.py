@@ -50,21 +50,12 @@ _LOGGER = logging.getLogger(__name__)
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: bucketed serving compiles a
     fixed set of shapes; caching them makes CLI/server cold starts
-    cheap. Respects an explicit user setting."""
-    try:
-        if jax.config.jax_compilation_cache_dir is None:
-            import os
+    cheap. Machine-keyed (runtime/cache.py) so entries compiled on one
+    host are never offered to an incompatible one; respects an explicit
+    user setting on jax.config."""
+    from .cache import enable_persistent_cache
 
-            cache = os.environ.get(
-                "PIPER_TPU_CACHE",
-                os.path.join(
-                    os.path.expanduser("~"), ".cache", "piper_tpu", "jax"
-                ),
-            )
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        _LOGGER.debug("could not enable compilation cache", exc_info=True)
+    enable_persistent_cache()
 
 
 @dataclasses.dataclass

@@ -5,8 +5,9 @@ The serving runtime compiles one executable per (bucket-shape); the
 first process to hit each shape pays the compile (~20-60 s/shape on a
 tunneled chip). This tool runs `TpuVoice.warmup(full=True)` over the
 ladder a CLI/server deployment will use and leaves every executable in
-the persistent compilation cache (PIPER_TPU_CACHE, default
-~/.cache/piper_tpu/jax), so later processes cold-start in seconds —
+the persistent compilation cache (machine-keyed under PIPER_TPU_CACHE,
+default ~/.cache/piper_tpu/<host-fp> — runtime/cache.py), so later
+processes on the same host cold-start in seconds —
 executable *loading*, not compilation, becomes the floor.
 
 Usage:

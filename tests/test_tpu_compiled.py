@@ -100,7 +100,8 @@ import numpy as np
 
 platform = jax.devices()[0].platform.lower()
 assert platform in ("tpu", "axon"), f"no TPU attached: {platform}"
-jax.config.update("jax_compilation_cache_dir", %(repo)r + "/.jax_cache")
+from piper_tpu.runtime.cache import cache_dir
+jax.config.update("jax_compilation_cache_dir", cache_dir(%(repo)r + "/.jax_cache"))
 
 from pathlib import Path
 from piper_tpu.config import SynthesisConfig
