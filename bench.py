@@ -177,14 +177,30 @@ def bench_serve(args):
 
     clients = args.clients
     per_client = args.per_client
-    voice = TpuVoice.random(
-        args.quality, num_symbols=256, seed=0, precision=args.precision,
+    vkw = dict(
+        precision=args.precision,
         phoneme_buckets=[128],
         frame_buckets=[256, 512, 1024],
         estimator_cache=True,
+        # Concurrent serving: every coalesced batch is a different
+        # composition, so shape-stable pack totals + one decode group
+        # keep the steady state free of mid-run jits (the same
+        # defaults the HTTP server CLI applies).
+        pack_total="pow2",
+        decode_grouping="uniform",
     )
-    # Codepoint front end: ASCII chars are ids in .random()'s map, so
-    # any plain-text query phonemizes without espeak.
+    if args.voice:
+        # A trained checkpoint gives deployment-representative duration
+        # variance (a random-weight duration predictor's spread
+        # overdrives the speculative miss paths and measures the worst
+        # case, not the typical one).
+        voice = TpuVoice.load(args.voice, args.voice_config, **vkw)
+    else:
+        voice = TpuVoice.random(
+            args.quality, num_symbols=256, seed=0, **vkw
+        )
+    # Codepoint front end: ASCII chars are ids in the map, so any
+    # plain-text query phonemizes without espeak.
     voice.config.phoneme_type = PhonemeType.TEXT
     voice.batcher = CoalescingBatcher(
         voice, window_ms=args.batch_window_ms, max_batch=max(32, clients)
@@ -195,10 +211,10 @@ def bench_serve(args):
     base = f"http://127.0.0.1:{port}"
 
     texts = [
-        "The quick brown fox jumps over the lazy dog.",
-        "A tpu native rebuild of a neural text to speech pipeline.",
-        "Latency is measured end to end through the coalescing batcher.",
-        "Short one.",
+        "the quick brown fox jumps over the lazy dog.",
+        "a tpu native rebuild of a neural text to speech pipeline.",
+        "latency is measured end to end through the coalescing batcher.",
+        "short one.",
     ]
 
     # Warm every shape the run will hit: bucket ladder + the
@@ -239,42 +255,107 @@ def bench_serve(args):
     ttfc = float(np.median(ttfcs))
 
     # Concurrent WAV load: `clients` threads, each `per_client`
-    # sequential requests; per-request wall latency recorded.
-    lat = []
-    lat_lock = threading.Lock()
-    errors = []
+    # sequential requests; per-request wall latency recorded. The
+    # clients run in a SUBPROCESS: in-process urllib threads share the
+    # server's GIL and on a small host that contention dominates the
+    # measurement (measured here: in-process clients showed ~2.8 s p50
+    # against a server whose direct-batcher steady state is 0.12 s).
+    # TWO waves: the first still hits residual one-time jits for batch
+    # compositions warmup could not enumerate; the second wave is the
+    # steady state a deployment lives in and is the headline.
+    import subprocess
 
-    def client(cid):
+    client_src = r"""
+import json, sys, threading, time, urllib.parse, urllib.request
+base, clients, per_client = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+texts = json.loads(sys.argv[4])
+out = {}
+errors = []
+for wave in (0, 1):
+    lat = []
+    lock = threading.Lock()
+    def client(cid, wave=wave, lat=lat, lock=lock):
         for i in range(per_client):
             q = urllib.parse.quote(texts[(cid + i) % len(texts)])
             t1 = time.perf_counter()
             try:
                 with urllib.request.urlopen(
-                    f"{base}/?text={q}&seed={cid * 100 + i}", timeout=600
+                    base + "/?text=" + q
+                    + "&seed=" + str(wave * 10000 + cid * 100 + i),
+                    timeout=600,
                 ) as r:
                     r.read()
-            except Exception as e:  # noqa: BLE001 - recorded, not raised
+            except Exception as e:
                 errors.append(repr(e))
                 continue
-            dt = time.perf_counter() - t1
-            with lat_lock:
-                lat.append(dt)
-
-    threads = [
-        threading.Thread(target=client, args=(c,)) for c in range(clients)
-    ]
+            with lock:
+                lat.append(time.perf_counter() - t1)
+    ths = [threading.Thread(target=client, args=(c,)) for c in range(clients)]
     t0 = time.perf_counter()
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    load_wall = time.perf_counter() - t0
+    [t.start() for t in ths]
+    [t.join() for t in ths]
+    out["wall%d" % wave] = time.perf_counter() - t0
+    out["lat%d" % wave] = sorted(lat)
+out["errors"] = errors[:3]
+print(json.dumps(out))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", client_src, base, str(clients),
+         str(per_client), json.dumps(texts)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    waves = json.loads(proc.stdout)
+    lat_cold, wall_cold = waves["lat0"], waves["wall0"]
+    lat, load_wall = waves["lat1"], waves["wall1"]
+    with urllib.request.urlopen(f"{base}/metrics", timeout=60) as r:
+        metrics_snap = json.loads(r.read())
     server.shutdown()
-    assert not errors, errors[:3]
-    lat.sort()
+    assert not waves["errors"], waves["errors"]
 
-    def pct(p):
-        return lat[min(len(lat) - 1, int(p / 100.0 * len(lat)))]
+    # Direct-batcher companion (the `device_only` analogue for
+    # latency): the same 16-thread load straight through the
+    # coalescing batcher, no HTTP layer and no client subprocess
+    # competing for host cores. On a small host the HTTP numbers above
+    # are host-CPU weather; this is the serving runtime's own steady
+    # state.
+    ids_per_text = [
+        [voice.phonemes_to_ids(p) for p in voice.phonemize(t)]
+        for t in texts
+    ]
+
+    def direct_wave(wave_no):
+        dl = []
+        dlock = threading.Lock()
+
+        def dclient(cid):
+            for i in range(per_client):
+                t1 = time.perf_counter()
+                voice.batcher.synthesize_ids_batch(
+                    ids_per_text[(cid + i) % len(texts)],
+                    syn=SynthesisConfig(
+                        seed=50000 + wave_no * 10000 + cid * 100 + i
+                    ),
+                )
+                with dlock:
+                    dl.append(time.perf_counter() - t1)
+
+        ths = [
+            threading.Thread(target=dclient, args=(c,))
+            for c in range(clients)
+        ]
+        t1 = time.perf_counter()
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        return sorted(dl), time.perf_counter() - t1
+
+    direct_wave(0)
+    lat_direct, wall_direct = direct_wave(1)
+
+    def pct(p, arr=None):
+        arr = lat if arr is None else arr
+        return arr[min(len(arr) - 1, int(p / 100.0 * len(arr)))]
 
     result = {
         "metric": "serving-latency",
@@ -282,6 +363,8 @@ def bench_serve(args):
         "p50_s": round(pct(50), 4),
         "p99_s": round(pct(99), 4),
         "clients": clients,
+        "direct_p50_s": round(pct(50, lat_direct), 4),
+        "direct_p99_s": round(pct(99, lat_direct), 4),
         "unit": "s",
         "vs_baseline": None,
     }
@@ -295,9 +378,25 @@ def bench_serve(args):
             "throughput_req_per_s": round(len(lat) / load_wall, 2),
             "p90_s": round(pct(90), 4),
             "mean_s": round(float(np.mean(lat)), 4),
+            "cold_wave": {
+                "p50_s": round(pct(50, lat_cold), 4),
+                "p99_s": round(pct(99, lat_cold), 4),
+                "throughput_req_per_s": round(
+                    len(lat_cold) / wall_cold, 2
+                ),
+            },
+            "direct_batcher": {
+                "p50_s": round(pct(50, lat_direct), 4),
+                "p99_s": round(pct(99, lat_direct), 4),
+                "throughput_req_per_s": round(
+                    len(lat_direct) / wall_direct, 2
+                ),
+            },
             "ttfc_samples": [round(t, 4) for t in ttfcs],
             "warmup_s": round(warm_s, 1),
             "streams_max_concurrent": 4,
+            "voice": args.voice or f"random-{args.quality}",
+            "server_metrics": metrics_snap,
         }
         print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))
@@ -324,6 +423,13 @@ def main():
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--per-client", type=int, default=8)
     ap.add_argument("--batch-window-ms", type=float, default=10.0)
+    ap.add_argument(
+        "--voice", default=None,
+        help="--serve: voice checkpoint path (.npz/.onnx/.ckpt); "
+        "default is a random-weight medium voice",
+    )
+    ap.add_argument("--voice-config", default=None,
+                    help="--serve: JSON config sidecar for --voice")
     ap.add_argument(
         "--decode-grouping", default="uniform",
         choices=["uniform", "packed", "bucketed"],

@@ -57,6 +57,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--download-dir", "--download_dir")
     parser.add_argument("--update-voices", action="store_true")
     parser.add_argument("--precision", choices=["parity", "fast"], default="fast")
+    parser.add_argument(
+        "--pack-total", "--pack_total", choices=["quantum", "pow2"],
+        default=None,
+        help="packed-transfer sizing: 'quantum' (minimal padding; "
+        "default for the CLI's recurring batch shapes) or 'pow2' "
+        "(shape-stable pack executables; default for the HTTP server, "
+        "whose coalesced batches vary every window)",
+    )
+    parser.add_argument(
+        "--decode-grouping", "--decode_grouping",
+        choices=["bucketed", "uniform", "packed"], default=None,
+        help="decode planner (default: bucketed for the CLI, uniform "
+        "for the HTTP server)",
+    )
     parser.add_argument("--wire-format", "--wire_format",
                         choices=["int16", "mulaw"], default="int16",
                         help="Packed device->host transfer format: int16 "
@@ -114,6 +128,8 @@ def load_voice(args) -> TpuVoice:
         args.model, args.config, precision=args.precision,
         wire_format=getattr(args, "wire_format", "int16"),
         estimator_cache=True,
+        pack_total=getattr(args, "pack_total", None) or "quantum",
+        decode_grouping=getattr(args, "decode_grouping", None) or "bucketed",
     )
 
 

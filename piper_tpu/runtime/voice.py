@@ -130,6 +130,7 @@ class TpuVoice:
         wire_format: str = "int16",
         estimator_cache: bool = False,
         dispatch_fusion: Optional[bool] = None,
+        pack_total: str = "quantum",
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis —
         batches are sharded across it (rows padded up to a multiple of
@@ -232,6 +233,18 @@ class TpuVoice:
                 "(precision='fast'); parity mode transfers float32"
             )
         self.wire_format = wire_format
+        if pack_total not in ("quantum", "pow2"):
+            raise ValueError(f"pack_total: {pack_total!r}")
+        # Packed-transfer sizing policy. "quantum": round the
+        # estimated body to _PACK_QUANTUM — minimal padding bytes, the
+        # right mode when one batch shape recurs (throughput serving /
+        # bench). "pow2": round to the next power of two — the pack
+        # executable's static `total` then takes one of ~log2 values,
+        # so CONCURRENT serving (coalescing batcher: every batch is a
+        # different composition) stops compiling a new pack for nearly
+        # every batch. Costs <=2x padding on the wire of small
+        # batches; buys steady-state latency with zero mid-run jits.
+        self.pack_total = pack_total
 
         cfg = model_cfg
         dtype = self.dtype
@@ -1151,6 +1164,11 @@ class TpuVoice:
         packed = None
         if pack_audio:
             total = -(-out_pos // self._PACK_QUANTUM) * self._PACK_QUANTUM
+            if self.pack_total == "pow2":
+                p = self._PACK_QUANTUM
+                while p < total:
+                    p <<= 1
+                total = p
             out_starts = jnp.asarray(
                 np.asarray([r[1] for r in pack_rows], np.int32)
             )
@@ -1363,9 +1381,13 @@ class TpuVoice:
         q = self._PACK_QUANTUM
         with self._ratio_lock:
             margin = self._spec_margin
-        total = a0 + max(
-            q, -(-int(est_total * margin) // q) * q
-        )
+        body = max(q, -(-int(est_total * margin) // q) * q)
+        if self.pack_total == "pow2":
+            p = q
+            while p < body:
+                p <<= 1
+            body = p
+        total = a0 + body
 
         fused = None
         if self._fusion and ds == 1:
@@ -1478,26 +1500,44 @@ class TpuVoice:
                 len(redecode),
             )
         max_fb = max(self.frame_buckets)
+        # Batch the in-ladder overflow rows by (encode group, target
+        # bucket): under concurrent serving a batch can miss several
+        # rows at once (per-row duration variance), and decoding them
+        # one dispatch PER ROW serialized multi-second tails onto
+        # otherwise-fast batches. One decode dispatch per group; the
+        # per-row device->host slice fetches stay row-sized.
+        longform: List[Tuple[int, int]] = []
+        by_group: dict = {}
         for i, frames in redecode:
-            res_idx, cap, g_no, row_i, eg_no, enc_row, id_len = rows[i]
-            indices, enc, frames_dev, keys, sid = spec["encode_groups"][eg_no]
             if frames > max_fb:
-                # Beyond the bucket ladder entirely: long-form windowed
-                # decode + stitch — full-length audio, same policy as
-                # the exact path (no silent truncation).
-                parts = self._decode_longform_parts(
-                    enc, enc_row, frames, spec["noise_scale"], keys, sid
-                )
-                results[res_idx] = self._assemble_longform(parts, u)
+                longform.append((i, frames))
                 continue
+            eg_no = rows[i][4]
             fbucket = batching.pick_bucket(frames, self.frame_buckets)
+            by_group.setdefault((eg_no, int(fbucket)), []).append((i, frames))
+        for (eg_no, fbucket), items in by_group.items():
+            indices, enc, frames_dev, keys, sid = spec["encode_groups"][eg_no]
+            enc_rows = [rows[i][5] for i, _f in items]
+            pad_n = self._round_rows(len(enc_rows)) - len(enc_rows)
             audio, _yl = self._decode(
                 self.params, enc,
-                jnp.asarray([enc_row] * self._data_size),
-                spec["noise_scale"], keys, sid, int(fbucket),
+                jnp.asarray(enc_rows + enc_rows[:1] * pad_n),
+                spec["noise_scale"], keys, sid, fbucket,
             )
-            seg = np.asarray(audio[0, : frames * u])
-            results[res_idx] = self._int16_through_wire(seg)
+            for j, (i, frames) in enumerate(items):
+                res_idx = rows[i][0]
+                seg = np.asarray(audio[j, : frames * u])
+                results[res_idx] = self._int16_through_wire(seg)
+        for i, frames in longform:
+            res_idx, cap, g_no, row_i, eg_no, enc_row, id_len = rows[i]
+            indices, enc, frames_dev, keys, sid = spec["encode_groups"][eg_no]
+            # Beyond the bucket ladder entirely: long-form windowed
+            # decode + stitch — full-length audio, same policy as
+            # the exact path (no silent truncation).
+            parts = self._decode_longform_parts(
+                enc, enc_row, frames, spec["noise_scale"], keys, sid
+            )
+            results[res_idx] = self._assemble_longform(parts, u)
         # calibrate the transfer-size margin from the realized body
         # size (`out` ends at a0 + sum(valid) = what a perfectly sized
         # transfer would have carried). `refetch` rows mean the margin
@@ -1794,18 +1834,18 @@ class TpuVoice:
             dec_futs = []
             b_max = max(batch_sizes)
             enc_pack = enc_futs[(b_max, pb_max)].result()
-            if self.decode_grouping == "uniform":
-                # One decode shape per (batch size, frame bucket).
-                rows_ladder = sorted(
-                    {self._round_rows(b) for b in batch_sizes}
-                )
-            else:
-                rows_ladder = []
-                r = self._round_rows(1)
-                while r < self._round_rows(b_max):
-                    rows_ladder.append(r)
-                    r *= 2
-                rows_ladder.append(self._round_rows(b_max))
+            # Every power-of-two row count up to the largest batch —
+            # for ALL groupings. Uniform grouping once warmed only the
+            # exact batch sizes passed, but the coalescing batcher
+            # serves whatever composition a window produced (e.g. 3
+            # requests -> rows 4), and an unwarmed vocode shape is a
+            # multi-second compile serialized onto request latency.
+            rows_ladder = []
+            r = self._round_rows(1)
+            while r < self._round_rows(b_max):
+                rows_ladder.append(r)
+                r *= 2
+            rows_ladder.append(self._round_rows(b_max))
             for rows in rows_ladder:
                 for fb in fbs:
                     dec_futs.append(

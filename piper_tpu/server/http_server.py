@@ -357,6 +357,15 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+    # Server defaults differ from the CLI's: coalesced batches change
+    # composition every window, so shape-stable pack totals (pow2) and
+    # one decode group per batch (uniform) keep steady-state serving
+    # free of mid-run jits (each fresh pack compile costs seconds on a
+    # tunneled chip and serialized onto request latency).
+    if args.pack_total is None:
+        args.pack_total = "pow2"
+    if args.decode_grouping is None:
+        args.decode_grouping = "uniform"
     voice = load_voice(args)
     sizes = tuple(int(s) for s in args.warmup_batch_sizes.split(",") if s)
     if args.batch_window_ms > 0:
