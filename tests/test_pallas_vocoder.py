@@ -167,6 +167,8 @@ def test_tconv_tm_matches_conv1d_transpose():
         (8, 16, 32, 16, "2", True, [256 * 8, 1024, 520]),
         (2, 4, 32, 16, "1", True, None),
         (4, 8, 48, 24, "2", True, [992, 256 * 4, 4]),
+        # 3*48 > 128: exercises the per-conv (non-block-stacked) path
+        (4, 8, 96, 48, "2", True, [992, 256 * 4, 4]),
     ],
 )
 def test_fused_upsample_mrf_matches_xla(u, k, c_in, c_out, rb, post, lengths):
