@@ -116,7 +116,7 @@ def synthesize_stream_chunks(
     noise_w = jnp.float32(syn.noise_w if syn.noise_w is not None else inf.noise_w)
 
     bucket = pick_bucket(len(ids), voice.phoneme_buckets)
-    ids_arr = np.zeros((1, bucket), np.int32)
+    ids_arr = np.zeros((1, bucket), voice._ids_wire_dtype)
     ids_arr[0, : len(ids)] = ids
     if syn.seed is not None:
         # Same per-utterance key derivation as the batch path (shared

@@ -37,7 +37,9 @@ def main(argv=None):
     )
     b = args.batch
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(3, 250, (b, args.pb)), jnp.int32)
+    ids = jnp.asarray(
+        rng.integers(3, 250, (b, args.pb)), voice._ids_wire_dtype
+    )
     lengths = jnp.full((b,), args.pb, jnp.int32)
     keys = jax.random.split(jax.random.PRNGKey(0), b)
     sid = None
