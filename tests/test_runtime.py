@@ -447,3 +447,47 @@ def test_wire_mulaw_rejects_parity():
             params, model_cfg, config, precision="parity",
             wire_format="mulaw",
         )
+
+
+def test_pack_total_pow2_matches_quantum(fast_voice):
+    """pack_total='pow2' (the HTTP server's shape-stable default) must
+    produce bit-identical audio to the default quantum sizing — only
+    the padded tail of the packed transfer differs — and its static
+    pack totals must be powers of two of the quantum."""
+    config = VoiceConfig.from_file(REF_CONFIG)
+    model_cfg = config.model_config()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    v2 = TpuVoice(
+        params, model_cfg, config,
+        phonemizer=FixturePhonemizer(REF_JSONL),
+        seed=0, precision="fast",
+        phoneme_buckets=[64, 128, 256, 512],
+        frame_buckets=[128, 256, 512, 1024, 2048],
+        pack_total="pow2",
+    )
+    recs = [json.loads(l) for l in open(REF_JSONL)][:6]
+    ids_list = [r["phoneme_ids"] for r in recs]
+    syn = SynthesisConfig(seed=9)
+    base = fast_voice.synthesize_ids_batch(ids_list, syn=syn)
+    # calibrate, then take the speculative path under pow2 sizing
+    out = v2.synthesize_ids_batch(ids_list, syn=syn)
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(a, b)
+    handle = v2.submit(ids_list, syn=syn)
+    spec = handle.get("spec")
+    assert spec is not None
+    body = spec["total"] - spec["a0"]
+    q = TpuVoice._PACK_QUANTUM
+    assert body >= q and (body & (body - 1)) == 0, body
+    v2.collect(handle)
+
+
+def test_pack_total_rejects_unknown():
+    config = VoiceConfig.from_file(REF_CONFIG)
+    model_cfg = config.model_config()
+    params = init_synthesizer_params(jax.random.PRNGKey(0), model_cfg)
+    with pytest.raises(ValueError, match="pack_total"):
+        TpuVoice(
+            params, model_cfg, config, seed=0, precision="fast",
+            pack_total="nope",
+        )
