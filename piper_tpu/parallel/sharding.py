@@ -54,6 +54,56 @@ def make_sharded_train_step(cfg: ModelConfig, tx, mesh: Mesh, **step_kw):
     )
 
 
+def make_sharded_scan_step(
+    cfg: ModelConfig, tx, mesh: Mesh, n_steps: int, **step_kw
+):
+    """n_steps train steps in ONE executable (lax.scan) — one dispatch
+    per n_steps instead of per step.
+
+    Motivation (docs/BENCH_NOTES.md "Training throughput"): the GAN
+    step's device time is ~1.5 ms while a single-step dispatch costs
+    per-call host/link round trips; scanning K steps amortizes them
+    (measured 1,070 -> 10,257 utt/s/chip on a tunneled v5e). Batches
+    arrive STACKED on a leading K axis — K same-bucket-shape batches —
+    with the data-parallel axis second (sharded over 'data'); keys are
+    (K, 2). Returns (state, metrics) where each metric is stacked per
+    inner step. The math is identical to K sequential train_step calls
+    with the same batches and keys (same ops, same order).
+    """
+    from ..train.step import train_step
+
+    rep = replicate(mesh)
+    scan_data = NamedSharding(mesh, P(None, "data"))
+
+    def step(state, batches, rngs):
+        def body(carry, xs):
+            batch, rng = xs
+            carry, metrics = train_step(
+                carry, batch, rng, cfg=cfg, tx=tx, **step_kw
+            )
+            return carry, metrics
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, scan_data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def stack_batches(batches, mesh: Mesh):
+    """Stack K same-shape host batches on a new leading axis and place
+    them for make_sharded_scan_step (K replicated, rows over 'data')."""
+    s = NamedSharding(mesh, P(None, "data"))
+    keys = batches[0].keys()
+    return {
+        k: jax.device_put(jnp.stack([jnp.asarray(b[k]) for b in batches]), s)
+        for k in keys
+    }
+
+
 def vocode_data_parallel(
     params,
     z_p: jnp.ndarray,

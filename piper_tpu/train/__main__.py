@@ -124,6 +124,15 @@ def main(argv=None) -> None:
     p.add_argument("--data-parallel", type=int,
                    help="Devices on the data axis (default: all)")
     p.add_argument("--precision", choices=("fast", "parity"), default="fast")
+    p.add_argument(
+        "--scan-steps", type=int, default=1,
+        help="Run K train steps per device dispatch (lax.scan over K "
+        "stacked same-bucket batches). The GAN step's device time is "
+        "~1.5 ms, so per-step dispatch round trips dominate on remote "
+        "or tunneled hosts — K=8 measured ~10x utterance throughput "
+        "(docs/BENCH_NOTES.md). Math is identical to K sequential "
+        "steps; logging/checkpoint cadences fire on counter crossings.",
+    )
     p.add_argument("--export-every", type=int, default=0,
                    help="Export a .npz voice every N steps (0 = only at end)")
     p.add_argument("--validate-steps", type=int, default=2000,
@@ -236,10 +245,16 @@ def main(argv=None) -> None:
         model=1,
         devices=jax.devices()[:data_parallel],
     )
-    step_fn = make_sharded_train_step(
-        cfg, tx, mesh,
-        dtype=jnp.bfloat16 if args.precision == "fast" else jnp.float32,
-    )
+    step_dtype = jnp.bfloat16 if args.precision == "fast" else jnp.float32
+    step_fn = make_sharded_train_step(cfg, tx, mesh, dtype=step_dtype)
+    scan_k = max(1, args.scan_steps)
+    scan_fn = None
+    if scan_k > 1:
+        from ..parallel.sharding import make_sharded_scan_step, stack_batches
+
+        scan_fn = make_sharded_scan_step(
+            cfg, tx, mesh, scan_k, dtype=step_dtype
+        )
 
     metrics_path = ckpt_dir / "metrics.jsonl"
     key = jax.random.PRNGKey(args.seed + 1)
@@ -248,18 +263,47 @@ def main(argv=None) -> None:
     # Carry the epoch count through --resume so the metrics stream's
     # epoch column is consistent with the step counter across restarts.
     start_epoch = start_step // steps_per_epoch
+    # --scan-steps>1: buffer same-shape batches until K are available,
+    # then run all K inside one scanned executable. Buckets keyed by
+    # the batch's array shapes (the collator pads per bucket, so the
+    # key space is the bucket ladder).
+    pending: dict = {}
     with mesh, open(metrics_path, "a", encoding="utf-8") as metrics_file:
         for epoch in range(start_epoch, args.max_epochs):
             for batch in loader:
                 if batch["ids"].shape[0] % mesh.devices.size != 0:
                     continue  # partial batch not divisible over mesh
-                key, sub = jax.random.split(key)
-                batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh
-                )
-                state, metrics = step_fn(state, batch, sub)
-                step += 1
-                if step % args.log_steps == 0:
+                prev_step = step
+                if scan_fn is not None:
+                    shape_key = tuple(
+                        (k, tuple(v.shape)) for k, v in sorted(batch.items())
+                    )
+                    buf = pending.setdefault(shape_key, [])
+                    buf.append(batch)
+                    if len(buf) < scan_k:
+                        continue
+                    pending[shape_key] = []
+                    key, sub = jax.random.split(key)
+                    state, m_stack = scan_fn(
+                        state, stack_batches(buf, mesh),
+                        jax.random.split(sub, scan_k),
+                    )
+                    metrics = {k: v[-1] for k, v in m_stack.items()}
+                    step += scan_k
+                else:
+                    key, sub = jax.random.split(key)
+                    batch = shard_batch(
+                        {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+                    )
+                    state, metrics = step_fn(state, batch, sub)
+                    step += 1
+
+                def crossed(n):
+                    # cadence fired between prev_step and step (equals
+                    # `step % n == 0` when stepping by 1)
+                    return n and step // n != prev_step // n
+
+                if crossed(args.log_steps):
                     vals = {
                         k: round(float(v), 5) for k, v in metrics.items()
                     }
@@ -274,11 +318,11 @@ def main(argv=None) -> None:
                         step, vals["loss_gen_all"], vals["loss_disc_all"],
                         vals["loss_mel"],
                     )
-                if step % args.checkpoint_steps == 0:
+                if crossed(args.checkpoint_steps):
                     save_checkpoint(ckpt_dir, jax.device_get(state), step)
-                if args.export_every and step % args.export_every == 0:
+                if args.export_every and crossed(args.export_every):
                     _export(ckpt_dir, state, cfg, step)
-                if args.validate_steps and step % args.validate_steps == 0:
+                if args.validate_steps and crossed(args.validate_steps):
                     _validate(
                         ckpt_dir, state, cfg, step, val_utts, metrics_file
                     )

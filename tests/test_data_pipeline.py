@@ -248,3 +248,43 @@ def test_training_cli_end_to_end(preprocessed, tmp_path):
     train_main(common + ["--max-steps", "3", "--resume"])
     metrics = [json.loads(l) for l in (ckpt_dir / "metrics.jsonl").read_text().splitlines()]
     assert any(m.get("step") == 3 for m in metrics)
+
+
+def test_training_cli_scan_steps(preprocessed, tmp_path):
+    """--scan-steps K: K steps per dispatch through the scanned
+    executable; cadences fire on counter crossings, checkpoints and
+    metrics advance by K."""
+    from piper_tpu.train.__main__ import main as train_main
+
+    ckpt_dir = tmp_path / "ckpt_scan"
+    overrides = json.dumps({
+        "inter_channels": 32, "hidden_channels": 32, "filter_channels": 64,
+        "n_heads": 2, "n_layers": 1,
+        "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 2]],
+        "upsample_rates": [16, 16], "upsample_kernel_sizes": [32, 32],
+        "segment_size": 4096,
+        "audio": {"filter_length": 1024, "hop_length": 256,
+                  "win_length": 1024, "mel_channels": 20},
+    })
+    train_main([
+        "--dataset-dir", str(preprocessed),
+        "--checkpoint-dir", str(ckpt_dir),
+        "--batch-size", "2",
+        "--config-overrides", overrides,
+        "--checkpoint-steps", "2",
+        "--log-steps", "1",
+        "--validate-steps", "0",
+        "--num-test-examples", "1",
+        "--validation-split", "0.34",
+        "--scan-steps", "2",
+        "--max-steps", "4",
+    ])
+    metrics = [
+        json.loads(l)
+        for l in (ckpt_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    steps = [m["step"] for m in metrics if "loss_gen_all" in m]
+    assert steps and all(s % 2 == 0 for s in steps), steps
+    assert any(s >= 4 for s in steps)
+    exports = list(ckpt_dir.glob("voice_*.npz"))
+    assert exports

@@ -304,3 +304,90 @@ def test_mesh_wire_mulaw_identical():
         np.testing.assert_array_equal(a, b)
     for a, b in zip(out2, ref2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_scanned_train_step_matches_sequential():
+    """make_sharded_scan_step(K) must produce the same state and
+    metrics as K sequential make_sharded_train_step calls with the
+    same batches and keys (the scan is the SAME ops in the same order,
+    just one dispatch; docs/BENCH_NOTES.md 'Training throughput')."""
+    import dataclasses
+
+    from piper_tpu.config import AudioConfig
+    from piper_tpu.parallel.sharding import (
+        make_sharded_scan_step,
+        make_sharded_train_step,
+        shard_batch,
+        stack_batches,
+    )
+    from piper_tpu.train.step import init_train_state
+
+    cfg = dataclasses.replace(
+        small_cfg(),
+        spec_channels=33,
+        segment_size=256,
+        audio=AudioConfig(
+            sample_rate=16000, filter_length=64, hop_length=16,
+            win_length=64, mel_channels=20,
+        ),
+    )
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    K, b, t_x, t_y = 3, 4, 12, 40
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(K):
+        batches.append({
+            "ids": rng.integers(0, 40, (b, t_x)).astype(np.int32),
+            "id_lengths": np.full((b,), t_x, np.int32),
+            "spec": np.abs(
+                rng.standard_normal((b, t_y, 33))
+            ).astype(np.float32),
+            "spec_lengths": np.full((b,), t_y, np.int32),
+            "audio": (
+                rng.standard_normal((b, t_y * 16)) * 0.1
+            ).astype(np.float32),
+        })
+    keys = jax.random.split(jax.random.PRNGKey(5), K)
+
+    with mesh:
+        state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+        step = make_sharded_train_step(cfg, tx, mesh)
+        seq = state
+        seq_metrics = []
+        for i in range(K):
+            seq, m = step(
+                seq, shard_batch(
+                    {k: jnp.asarray(v) for k, v in batches[i].items()}, mesh
+                ), keys[i],
+            )
+            seq_metrics.append({k: float(v) for k, v in m.items()})
+
+        state2, tx2 = init_train_state(jax.random.PRNGKey(0), cfg)
+        # snapshot before the call: the scan donates its state argument
+        init_params = jax.device_get(state2.params_g)
+        scan = make_sharded_scan_step(cfg, tx2, mesh, K)
+        scanned, m_stack = scan(state2, stack_batches(batches, mesh), keys)
+
+    # Same training trajectory: every inner step's losses match the
+    # sequential run. Parameters are NOT compared bitwise — the scan
+    # body and the standalone step are different XLA executables whose
+    # fusion choices round differently, and Adam's normalized updates
+    # amplify ULP-level gradient drift; the per-step loss trajectory is
+    # the compilation-robust statement that both run the same math on
+    # the same data and keys.
+    for i in range(K):
+        for k, v in seq_metrics[i].items():
+            np.testing.assert_allclose(
+                v, float(m_stack[k][i]), rtol=5e-3, atol=1e-4,
+                err_msg=f"metric {k} at inner step {i}",
+            )
+    # and the scanned state is a real, finite, advanced training state
+    for bb in jax.tree_util.tree_leaves(scanned.params_g):
+        assert np.all(np.isfinite(np.asarray(bb)))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(bb))
+        for a, bb in zip(
+            jax.tree_util.tree_leaves(init_params),
+            jax.tree_util.tree_leaves(scanned.params_g),
+        )
+    )
